@@ -1,0 +1,267 @@
+"""Shared Flax building blocks for the denoiser backbones.
+
+Capability parity with the reference's layer helpers
+(``src/models/backbones/layer_utils.py``, ``operator_utils.py`` and the block
+zoo inside ``unet2d.py:19-320``), re-expressed as linen modules in **NHWC**
+layout — channels-last is the TPU-native layout (convolutions tile onto the
+MXU without transposes, and channel LayerNorm becomes a plain last-axis
+reduction).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def l2norm(t: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    denom = jnp.sqrt(jnp.sum(t * t, axis=axis, keepdims=True))
+    return t / jnp.maximum(denom, eps)
+
+
+def prob_keep_mask(key: jax.Array, batch: int, keep_prob: float) -> jnp.ndarray:
+    """Bernoulli keep-mask for classifier-free-guidance dropout."""
+    return jax.random.uniform(key, (batch,)) < keep_prob
+
+
+class ImagenLayerNorm(nn.Module):
+    """g-only LayerNorm with biased variance (reference layer_utils.py:14-32).
+
+    In NHWC both the imagen token LayerNorm (dim=-1) and the channel LayerNorm
+    (dim=-3 in NCHW) normalize the last axis.
+    """
+
+    stable: bool = False
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        g = self.param("g", nn.initializers.ones, (feats,))
+        if self.stable:
+            x = x / jax.lax.stop_gradient(jnp.max(x, axis=-1, keepdims=True))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        return (out * g).astype(x.dtype)
+
+
+class WNConv(nn.Module):
+    """Weight-normalized conv: kernel = g * v / ||v|| (per output channel).
+
+    Covers the reference's ``cond_weight_norm`` (layer_utils.py:9-12, with
+    N(0, 0.01) direction init) and the DAC codec's weight-norm convs.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Any = None
+    padding: Any = "SAME"
+    kernel_dilation: Any = None
+    transpose: bool = False
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.normal(0.01)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ndim_sp = len(self.kernel_size)
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        v = self.param("v", self.kernel_init, kshape)
+        g = self.param(
+            "g",
+            lambda key: jnp.sqrt(
+                jnp.sum(v.reshape(-1, self.features) ** 2, axis=0)
+            ),
+        )
+        norm = jnp.sqrt(jnp.sum(v.reshape(-1, self.features) ** 2, axis=0))
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+
+        strides = self.strides or (1,) * ndim_sp
+        if isinstance(strides, int):
+            strides = (strides,) * ndim_sp
+        dilation = self.kernel_dilation or (1,) * ndim_sp
+        if isinstance(dilation, int):
+            dilation = (dilation,) * ndim_sp
+        if ndim_sp == 1:
+            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
+        else:
+            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        if self.transpose:
+            out = jax.lax.conv_transpose(
+                x, kernel, strides, self.padding, dimension_numbers=dn
+            )
+        else:
+            padding = self.padding
+            if isinstance(padding, int):
+                padding = [(padding, padding)] * ndim_sp
+            out = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=strides,
+                padding=padding,
+                rhs_dilation=dilation,
+                dimension_numbers=dn,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias
+        return out
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, 2H, 2W, C] nearest-neighbour."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (reference unet2d.py:19-25)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample_nearest_2x(x)
+        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+
+
+def _pixel_shuffle_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform kernel replicated over the 4 sub-pixels so the
+    upsample starts smooth (anti-checkerboard; reference unet2d.py:45-52)."""
+    kh, kw, cin, cout4 = shape
+    base = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")(
+        key, (kh, kw, cin, cout4 // 4), dtype
+    )
+    return jnp.repeat(base, 4, axis=-1)
+
+
+class PixelShuffleUpsample(nn.Module):
+    """1x1 conv to 4x channels, SiLU, depth-to-space (reference :27-55)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        x = nn.Conv(
+            self.dim_out * 4, (1, 1), kernel_init=_pixel_shuffle_init, dtype=self.dtype
+        )(x)
+        x = nn.silu(x)
+        # channel (c i j) -> spatial (h i) (w j)
+        x = x.reshape(b, h, w, self.dim_out, 2, 2)
+        x = x.transpose(0, 1, 4, 2, 5, 3)
+        return x.reshape(b, h * 2, w * 2, self.dim_out)
+
+
+class Downsample(nn.Module):
+    """Space-to-depth ('pixel unshuffle') + 1x1 conv (reference :57-64)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4)
+        x = x.reshape(b, h // 2, w // 2, c * 4)
+        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """crowsonkb's learned Fourier time embedding (reference :66-81)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(1.0), (half,))
+        freqs = t[:, None] * w[None, :] * 2 * jnp.pi
+        return jnp.concatenate([t[:, None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class Block(nn.Module):
+    """GroupNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv (reference :83-104)."""
+
+    dim_out: int
+    groups: int = 8
+    norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[Tuple] = None):
+        if self.norm:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        x = nn.silu(x)
+        return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+
+
+class GlobalContext(nn.Module):
+    """Squeeze-excite with attention pooling (reference :170-195)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        context = nn.Conv(1, (1, 1), dtype=self.dtype)(x)  # [B,H,W,1]
+        attn = jax.nn.softmax(context.reshape(b, h * w), axis=-1)
+        pooled = jnp.einsum("bn,bnc->bc", attn, x.reshape(b, h * w, c))
+        pooled = pooled[:, None, None, :]  # [B,1,1,C]
+        hidden = max(3, self.dim_out // 2)
+        out = nn.Conv(hidden, (1, 1), dtype=self.dtype)(pooled)
+        out = nn.silu(out)
+        out = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(out)
+        return jax.nn.sigmoid(out)
+
+
+class CrossEmbedLayer(nn.Module):
+    """Multi-kernel-size conv stem (reference :260-286)."""
+
+    dim_out: int
+    kernel_sizes: Sequence[int]
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel_sizes = sorted(self.kernel_sizes)
+        num_scales = len(kernel_sizes)
+        dim_scales = [self.dim_out // (2**i) for i in range(1, num_scales)]
+        dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        fmaps = []
+        for kernel, dim_scale in zip(kernel_sizes, dim_scales):
+            pad = (kernel - self.stride) // 2
+            fmaps.append(
+                nn.Conv(
+                    dim_scale,
+                    (kernel, kernel),
+                    strides=self.stride,
+                    padding=[(pad, pad), (pad, pad)],
+                    dtype=self.dtype,
+                )(x)
+            )
+        return jnp.concatenate(fmaps, axis=-1)
+
+
+def resize_image_to(image: jnp.ndarray, target_size: int) -> jnp.ndarray:
+    """Nearest resize on the trailing spatial dims (NHWC)."""
+    b, h, w, c = image.shape
+    if w == target_size and h == target_size:
+        return image
+    return jax.image.resize(image, (b, target_size, target_size, c), method="nearest")

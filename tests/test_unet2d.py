@@ -1,0 +1,110 @@
+"""UNet2dBase backbone tests: shapes, init behavior, CFG paths, jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodiffuser_tpu.models.unet2d import UNet2dBase
+
+# miniature version of the SC09 flagship config (dim 128 -> 16 for test speed)
+NET = UNet2dBase(
+    dim=16,
+    num_classes=10,
+    dim_mults=[1, 2, 2],
+    channels=2,
+    num_resnet_blocks=2,
+    resnet_groups=8,
+    layer_attns=[False, False, True],
+    layer_cross_attns=[False, False, True],
+    attn_heads=2,
+    ff_mult=2.0,
+    memory_efficient=True,
+)
+
+X = jax.random.normal(jax.random.key(0), (2, 32, 16, 2))
+TIME = jnp.asarray([-0.5, 0.3])
+CLASSES = jnp.asarray([1, 7])
+
+
+@pytest.fixture(scope="module")
+def params():
+    return NET.init(jax.random.key(1), X, TIME, classes=CLASSES)["params"]
+
+
+def test_output_shape_and_zero_init(params):
+    out = NET.apply({"params": params}, X, TIME, classes=CLASSES)
+    assert out.shape == X.shape
+    # final conv is zero-init -> output must be exactly zero at init
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_cfg_mask_equals_scalar_drop(params):
+    """cond_drop_mask=all-True must equal cond_drop_prob=1 (all null)."""
+    p = {"params": params}
+    out_prob1 = NET.apply(p, X, TIME, classes=CLASSES, cond_drop_prob=1.0)
+    out_mask = NET.apply(
+        p, X, TIME, classes=CLASSES, cond_drop_mask=jnp.ones(2, dtype=bool)
+    )
+    np.testing.assert_allclose(np.asarray(out_prob1), np.asarray(out_mask), atol=1e-6)
+
+    out_prob0 = NET.apply(p, X, TIME, classes=CLASSES, cond_drop_prob=0.0)
+    out_mask0 = NET.apply(
+        p, X, TIME, classes=CLASSES, cond_drop_mask=jnp.zeros(2, dtype=bool)
+    )
+    np.testing.assert_allclose(np.asarray(out_prob0), np.asarray(out_mask0), atol=1e-6)
+
+
+def test_fractional_cond_drop_requires_rng(params):
+    p = {"params": params}
+    out = NET.apply(
+        p, X, TIME, classes=CLASSES, cond_drop_prob=0.5, rngs={"cond": jax.random.key(2)}
+    )
+    assert out.shape == X.shape
+
+
+def test_class_conditioning_changes_output():
+    """After perturbing params away from zero-init, classes must matter."""
+    params = NET.init(jax.random.key(1), X, TIME, classes=CLASSES)["params"]
+    params = jax.tree.map(
+        lambda a: a + 0.01 * jnp.ones_like(a), params
+    )
+    p = {"params": params}
+    out_a = NET.apply(p, X, TIME, classes=jnp.asarray([0, 0]))
+    out_b = NET.apply(p, X, TIME, classes=jnp.asarray([5, 5]))
+    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
+
+
+def test_jit_and_grad(params):
+    @jax.jit
+    def loss_fn(params, x):
+        out = NET.apply({"params": params}, x, TIME, classes=CLASSES)
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss_fn)(params, X)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+
+
+def test_non_memory_efficient_and_text():
+    net = UNet2dBase(
+        dim=16,
+        num_classes=0,
+        dim_mults=[1, 2],
+        channels=2,
+        num_resnet_blocks=1,
+        resnet_groups=4,
+        layer_attns=[False, True],
+        layer_cross_attns=[False, True],
+        attn_heads=2,
+        memory_efficient=False,
+        cond_on_text=True,
+        text_embed_dim=32,
+        max_text_len=4,
+        pixel_shuffle_upsample=False,
+    )
+    text = jax.random.normal(jax.random.key(3), (2, 3, 32))
+    tmask = jnp.asarray([[1, 1, 0], [1, 0, 0]], dtype=bool)
+    variables = net.init(jax.random.key(4), X, TIME, text_embeds=text, text_mask=tmask)
+    out = net.apply(variables, X, TIME, text_embeds=text, text_mask=tmask)
+    assert out.shape == X.shape
