@@ -1,0 +1,236 @@
+"""SC09 (Speech Commands digits) data pipeline.
+
+Capability parity with the reference ``src/data/sc09_datamodule.py``:
+SC09Dataset recursive wav glob + label from filename prefix (:10-30),
+Collator random-crop/zero-pad to ``audio_len`` (:32-51), SC09DataModule
+(train = train+valid dirs, ``audio_len = (num_frames-1)*hop``, :53-168).
+
+TPU-native design: a host-side numpy pipeline (scipy WAV IO) with a
+background prefetch thread, sharded by ``jax.process_index()`` for multi-host
+data parallelism — each process reads a disjoint file shard, batches are
+per-process and get sharded over local devices by the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.io import wavfile
+
+LABELS = ["Zero", "One", "Two", "Three", "Four", "Five", "Six", "Seven", "Eight", "Nine"]
+_LABEL_TO_ID = {name.lower(): i for i, name in enumerate(LABELS)}
+
+
+def load_wav(path: str) -> Tuple[int, np.ndarray]:
+    """Read a wav file into float32 [-1, 1]."""
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return sr, data
+
+
+def save_wav(path: str, audio: np.ndarray, sample_rate: int):
+    """Write a 16-bit wav (matching the reference's bits_per_sample=16)."""
+    audio = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    wavfile.write(path, sample_rate, (audio * 32767.0).astype(np.int16))
+
+
+def label_from_filename(path: str) -> int:
+    """Parse the class from the filename prefix (Zero_... -> 0)."""
+    stem = Path(path).name.split("_")[0].lower()
+    return _LABEL_TO_ID.get(stem, 0)
+
+
+class SC09Dataset:
+    """Recursive wav listing with filename-prefix labels (reference :10-30)."""
+
+    def __init__(self, paths: Sequence[str]):
+        self.filenames: List[str] = []
+        for p in paths:
+            self.filenames += sorted(
+                str(f) for f in Path(p).rglob("*.wav")
+            )
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        path = self.filenames[idx]
+        _, audio = load_wav(path)
+        return {"audio": audio, "label": label_from_filename(path)}
+
+
+@dataclass
+class Collator:
+    """Random-crop or zero-pad each clip to ``audio_len`` (reference :32-51)."""
+
+    audio_len: int
+    rng: np.random.Generator = field(default_factory=np.random.default_rng)
+
+    def __call__(self, records: List[Dict]) -> Dict[str, np.ndarray]:
+        audios, labels = [], []
+        for rec in records:
+            audio = rec["audio"]
+            if len(audio) >= self.audio_len:
+                start = self.rng.integers(0, len(audio) - self.audio_len + 1)
+                audio = audio[start : start + self.audio_len]
+            else:
+                audio = np.pad(audio, (0, self.audio_len - len(audio)))
+            audios.append(audio)
+            labels.append(rec["label"])
+        return {
+            "audio": np.stack(audios).astype(np.float32),
+            "label": np.asarray(labels, np.int32),
+        }
+
+
+class DataLoader:
+    """Shuffling batch iterator with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: SC09Dataset,
+        batch_size: int,
+        collator: Collator,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = collator
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        self.epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            n = len(idx)
+            end = n - (n % self.batch_size) if self.drop_last else n
+            for start in range(0, end, self.batch_size):
+                chunk = idx[start : start + self.batch_size]
+                records = [self.dataset[int(i)] for i in chunk]
+                q.put(self.collator(records))
+            q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class SC09DataModule:
+    """Train/val/test loaders over the SC09 directory layout (reference :53-168).
+
+    audio_len = (num_frames - 1) * hop_length, matching the complex-STFT task.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        batch_size: int = 32,
+        num_frames: int = 128,
+        hop_length: int = 128,
+        num_workers: int = 0,  # accepted for config parity; loader is threaded
+        pin_memory: bool = False,
+        seed: int = 0,
+        train_dirs: Sequence[str] = ("train", "valid"),
+        val_dir: str = "test",
+        test_dir: str = "test",
+    ):
+        self.data_dir = data_dir
+        self.batch_size = batch_size
+        self.audio_len = (num_frames - 1) * hop_length
+        self.seed = seed
+        self.train_dirs = train_dirs
+        self.val_dir = val_dir
+        self.test_dir = test_dir
+        self._train = self._val = self._test = None
+
+    def setup(self):
+        import jax
+
+        shard, nshards = jax.process_index(), jax.process_count()
+        root = Path(self.data_dir)
+        self._train = DataLoader(
+            SC09Dataset([root / d for d in self.train_dirs]),
+            self.batch_size,
+            Collator(self.audio_len, np.random.default_rng(self.seed)),
+            shuffle=True,
+            seed=self.seed,
+            num_shards=nshards,
+            shard_index=shard,
+        )
+        self._val = DataLoader(
+            SC09Dataset([root / self.val_dir]),
+            self.batch_size,
+            Collator(self.audio_len, np.random.default_rng(self.seed + 1)),
+            shuffle=False,
+            num_shards=nshards,
+            shard_index=shard,
+        )
+        self._test = DataLoader(
+            SC09Dataset([root / self.test_dir]),
+            self.batch_size,
+            Collator(self.audio_len, np.random.default_rng(self.seed + 2)),
+            shuffle=False,
+            num_shards=nshards,
+            shard_index=shard,
+        )
+
+    def train_dataloader(self):
+        if self._train is None:
+            self.setup()
+        return self._train
+
+    def val_dataloader(self):
+        if self._val is None:
+            self.setup()
+        return self._val
+
+    def test_dataloader(self):
+        if self._test is None:
+            self.setup()
+        return self._test

@@ -1,0 +1,363 @@
+"""The training engine: jitted data-parallel train step, validation loop,
+generation harness, orbax checkpointing, EMA tracking + snapshots.
+
+Replaces the Lightning Trainer + DiffUnetComplexModule step methods of the
+reference (``src/train.py:34-105``, ``diffunet_complex_module.py:127-266``,
+``configs/trainer/*.yaml``) with a TPU-native engine:
+
+- one jitted train step (loss + grad + optax update + EMA update), params
+  replicated and batch sharded over the mesh's ``data`` axis — the gradient
+  all-reduce is emitted by XLA from the sharding, no explicit collectives;
+- validation loss + one generated audio sample per validation epoch
+  (reference :186-218), wav files written on rank zero only;
+- test harness: ``total_test_samples`` batched generations to 16-bit wavs
+  (reference :230-266);
+- orbax checkpoints (params/opt_state/ema/step) with `last` + periodic saves
+  and resume (replacing Lightning ModelCheckpoint + ckpt_path);
+- EMA snapshot checkpoints every ``num_ema_snapshot_item`` seen items
+  (replacing the reference's fp16 pickles, reference :156-167).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+from flax import struct
+
+from ..data.sc09 import save_wav
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    is_main_process,
+    replicate,
+    shard_batch,
+)
+from .ema import PowerFunctionEMA, TraditionalEMA
+from .logging import BaseLogger
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_state: Any  # {'emas': [...]} or None
+    cur_nitem: jnp.ndarray
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        optimizer: optax.GradientTransformation,
+        max_epochs: int = 10,
+        min_epochs: int = 1,
+        max_steps: Optional[int] = None,
+        check_val_every_n_epoch: int = 1,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every_n_epochs: int = 50,
+        logger: Optional[BaseLogger] = None,
+        seed: int = 0,
+        output_dir: str = "outputs",
+        mesh=None,
+        fast_dev_run: bool = False,
+    ):
+        self.task = task
+        self.optimizer = optimizer
+        self.max_epochs = max_epochs
+        self.min_epochs = min_epochs
+        self.max_steps = max_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.output_dir = Path(output_dir)
+        self.ckpt_dir = Path(ckpt_dir) if ckpt_dir else self.output_dir / "checkpoints"
+        self.ckpt_every_n_epochs = ckpt_every_n_epochs
+        self.logger = logger
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.fast_dev_run = fast_dev_run
+        if fast_dev_run:
+            self.max_epochs = 1
+            self.limit_train_batches = 1
+            self.limit_val_batches = 1
+
+        if task.use_ema and task.use_phema:
+            self.ema = PowerFunctionEMA(stds=(0.050, 0.100))
+        elif task.use_ema:
+            self.ema = TraditionalEMA(halflife_Mimg=0.3, rampup_ratio=0.09)
+        else:
+            self.ema = None
+
+        self.best_val_loss = float("inf")
+        self._compiled_train_step = None
+        self._compiled_val_step = None
+        self._sample_fn = None
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _fit_mesh_to_batch(self, batch_size: int):
+        """Shrink the data axis to a divisor of the batch size if needed."""
+        n = self.mesh.devices.size
+        if batch_size % n == 0:
+            return
+        use = 1
+        for d in range(min(batch_size, n), 0, -1):
+            if batch_size % d == 0:
+                use = d
+                break
+        print(
+            f"[trainer] batch size {batch_size} not divisible by {n} devices; "
+            f"using a {use}-device data mesh"
+        )
+        self.mesh = create_mesh(devices=jax.devices()[:use])
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, example_batch) -> TrainState:
+        key = jax.random.key(self.seed)
+        spec = self.task.audio_to_spec(jnp.asarray(example_batch["audio"][:1]))
+        time0 = jnp.zeros((1,))
+        params = self.task.net.init(
+            {"params": key, "cond": key},
+            spec,
+            time0,
+            classes=jnp.asarray(example_batch["label"][:1]),
+        )["params"]
+        opt_state = self.optimizer.init(params)
+        ema_state = self.ema.init(params) if self.ema else None
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_state=ema_state,
+            cur_nitem=jnp.zeros((), jnp.int32),
+        )
+        return replicate(self.mesh, state)
+
+    # -- jitted steps ---------------------------------------------------------
+    def _train_step(self, state: TrainState, batch, key):
+        def loss_wrapper(params):
+            loss, losses = self.task.loss_fn(params, batch, key)
+            return loss, losses
+
+        (loss, _), grads = jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        batch_size = batch["audio"].shape[0] * jax.process_count()
+        cur_nitem = state.cur_nitem + batch_size
+        ema_state = state.ema_state
+        if self.ema is not None:
+            ema_state = self.ema.update(ema_state, params, cur_nitem, batch_size)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_state=ema_state,
+            cur_nitem=cur_nitem,
+        )
+        return new_state, {"train/loss": loss}
+
+    def _val_step(self, state: TrainState, batch, key):
+        loss, _ = self.task.loss_fn(state.params, batch, key)
+        return {"val/loss": loss}
+
+    def _compile(self):
+        if self._compiled_train_step is None:
+            self._compiled_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+            self._compiled_val_step = jax.jit(self._val_step)
+            self._sample_fn = jax.jit(self.task.make_sample_fn())
+
+    # -- loops ----------------------------------------------------------------
+    def fit(self, datamodule, state: Optional[TrainState] = None, ckpt_path=None):
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+
+        first_batch = next(iter(train_loader))
+        self._fit_mesh_to_batch(first_batch["audio"].shape[0])
+        if state is None:
+            state = self.init_state(first_batch)
+        if ckpt_path:
+            state = self.restore_checkpoint(ckpt_path, state)
+        self._compile()
+
+        key = jax.random.key(self.seed + 1)
+        step = int(jax.device_get(state.step))
+        epoch = 0
+        snapshot_marker = 0
+        done = False
+        while epoch < self.max_epochs and not done:
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader):
+                if self.limit_train_batches and i >= self.limit_train_batches:
+                    break
+                key, sub = jax.random.split(key)
+                sharded = shard_batch(self.mesh, batch)
+                state, metrics = self._compiled_train_step(state, sharded, sub)
+                losses.append(metrics["train/loss"])
+                step += 1
+
+                if self.ema is not None:
+                    nitem = int(jax.device_get(state.cur_nitem))
+                    if nitem // self.task.num_ema_snapshot_item > snapshot_marker:
+                        snapshot_marker = nitem // self.task.num_ema_snapshot_item
+                        self.save_ema_snapshots(state, step)
+
+                if self.max_steps and step >= self.max_steps:
+                    done = True
+                    break
+
+            train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else 0.0
+            log = {
+                "train/loss": train_loss,
+                "epoch": epoch,
+                "epoch_time": time.time() - t0,
+                "seen_items": int(jax.device_get(state.cur_nitem)),
+            }
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                log.update(self.validate(state, val_loader, key, step))
+
+            if self.logger and is_main_process():
+                self.logger.log_metrics(log, step)
+
+            if (epoch + 1) % self.ckpt_every_n_epochs == 0 or epoch + 1 == self.max_epochs:
+                self.save_checkpoint(state, name=f"epoch_{epoch:03d}")
+            self.save_checkpoint(state, name="last")
+            epoch += 1
+
+        return state
+
+    def validate(self, state, val_loader, key, step) -> Dict[str, float]:
+        self._compile()
+        losses = []
+        for i, batch in enumerate(val_loader):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
+            key, sub = jax.random.split(key)
+            sharded = shard_batch(self.mesh, batch)
+            losses.append(jax.device_get(self._compiled_val_step(state, sharded, sub)["val/loss"]))
+        val_loss = float(np.mean(losses)) if losses else float("nan")
+        self.best_val_loss = min(self.best_val_loss, val_loss)
+
+        # generate one sample of a random class (reference :198-218)
+        if not self.fast_dev_run:
+            key, sub = jax.random.split(key)
+            n_class = max(self.task.generated_sample_class, 1)
+            target = jax.random.randint(sub, (1,), 0, n_class)
+            audio = self._sample_fn(state.params, sub, target)
+            if is_main_process():
+                out = self.output_dir / "val_audio"
+                out.mkdir(parents=True, exist_ok=True)
+                save_wav(
+                    str(out / f"val_{int(target[0])}_{step}.wav"),
+                    np.asarray(jax.device_get(audio[0])),
+                    self.task.audio_sample_rate,
+                )
+        return {"val/loss": val_loss, "val/loss_best": self.best_val_loss}
+
+    def test(self, state_or_params, datamodule=None, batch_size: Optional[int] = None):
+        """Batch-generation harness (reference on_test_epoch_end :230-266)."""
+        self._compile()
+        params = (
+            state_or_params.params
+            if isinstance(state_or_params, TrainState)
+            else state_or_params
+        )
+        if self.task.ema_ckpt_path:
+            params = self.load_ema_params(self.task.ema_ckpt_path, params)
+
+        if batch_size is None:
+            batch_size = datamodule.batch_size if datamodule else 16
+        total = self.task.total_test_samples or batch_size
+        iterations = max(total // batch_size, 1)
+        out = self.output_dir / "test_samples"
+        if is_main_process():
+            out.mkdir(parents=True, exist_ok=True)
+
+        key = jax.random.key(self.seed + 2)
+        classes = self.task.test_classes(batch_size)
+        sr = self.task.audio_sample_rate
+        t_start = time.time()
+        for it in range(iterations):
+            key, sub = jax.random.split(key)
+            audio = jax.device_get(self._sample_fn(params, sub, classes))
+            if is_main_process():
+                for j in range(audio.shape[0]):
+                    fname = f"test_{int(classes[j])}_{it * batch_size + j}.wav"
+                    save_wav(str(out / fname), audio[j, :sr], sr)
+        elapsed = time.time() - t_start
+        metrics = {
+            "test/num_samples": iterations * batch_size,
+            "test/samples_per_sec": iterations * batch_size / max(elapsed, 1e-9),
+        }
+        if self.logger and is_main_process():
+            self.logger.log_metrics(metrics, int(jax.device_get(jnp.asarray(0))))
+        return metrics
+
+    # -- checkpointing ---------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, name: str = "last"):
+        if not is_main_process():
+            return
+        path = (self.ckpt_dir / name).absolute()
+        payload = jax.device_get(
+            {
+                "step": state.step,
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_state": state.ema_state,
+                "cur_nitem": state.cur_nitem,
+            }
+        )
+        self._ckpt.save(path, payload, force=True)
+
+    def restore_checkpoint(self, path, state: TrainState) -> TrainState:
+        target = jax.device_get(
+            {
+                "step": state.step,
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "ema_state": state.ema_state,
+                "cur_nitem": state.cur_nitem,
+            }
+        )
+        payload = self._ckpt.restore(str(Path(path).absolute()), item=target)
+        state = state.replace(
+            step=jnp.asarray(payload["step"]),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            ema_state=payload["ema_state"],
+            cur_nitem=jnp.asarray(payload["cur_nitem"]),
+        )
+        return replicate(self.mesh, state)
+
+    def save_ema_snapshots(self, state: TrainState, step: int):
+        """Orbax EMA snapshots (replaces fp16 pickles, reference :156-167)."""
+        if not is_main_process() or self.ema is None:
+            return
+        snap_dir = (self.output_dir / "ema_snapshots").absolute()
+        snap_dir.mkdir(parents=True, exist_ok=True)
+        for ema_params, suffix in self.ema.get(jax.device_get(state.ema_state)):
+            path = snap_dir / f"ema_prof{suffix}_{step}"
+            half = jax.tree.map(lambda p: np.asarray(p, np.float16), ema_params)
+            self._ckpt.save(path, half, force=True)
+
+    def load_ema_params(self, path, like_params):
+        target = jax.tree.map(
+            lambda p: np.zeros(p.shape, np.float16), jax.device_get(like_params)
+        )
+        half = self._ckpt.restore(str(Path(path).absolute()), item=target)
+        full = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), half)
+        return replicate(self.mesh, full)

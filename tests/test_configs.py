@@ -1,0 +1,84 @@
+"""Config-composition tests: every shipped config must compose and its
+component tree must instantiate (reference tests/test_configs.py intent)."""
+
+from pathlib import Path
+
+import pytest
+
+from audiodiffuser_tpu.config import compose, expand_multirun, instantiate
+
+CONFIG_DIR = str(Path(__file__).parent.parent / "configs")
+
+EXPERIMENTS = sorted(
+    str(p.relative_to(Path(CONFIG_DIR) / "experiment")).replace(".yaml", "")
+    for p in (Path(CONFIG_DIR) / "experiment").rglob("*.yaml")
+)
+
+
+def test_train_config_composes():
+    cfg = compose(CONFIG_DIR, "train", [])
+    assert cfg.task_name == "train"
+    assert cfg.model._target_.endswith("DiffusionSpecTask")
+    assert cfg.data._target_.endswith("SC09DataModule")
+
+
+def test_eval_config_composes():
+    cfg = compose(CONFIG_DIR, "eval", [])
+    assert cfg.task_name == "eval"
+
+
+@pytest.mark.parametrize("exp", EXPERIMENTS)
+def test_every_experiment_composes_and_instantiates(exp):
+    """Unlike the reference (whose shipped configs reference missing targets,
+    SURVEY §2.12), every experiment here must fully instantiate."""
+    cfg = compose(CONFIG_DIR, "train", [f"experiment={exp}"])
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("optimizer")
+    model_cfg.pop("scheduler", None)
+    task = instantiate(model_cfg)
+    assert hasattr(task, "loss_fn") and hasattr(task, "synthesize_from_noise")
+    assert task.sigmas.shape[0] > 0  # scheduler materialized
+
+
+def test_cli_overrides_and_interpolation():
+    cfg = compose(
+        CONFIG_DIR,
+        "train",
+        [
+            "experiment=sc09/diffunet_complex_sc09",
+            "model.sampler.num_steps=7",
+            "data.batch_size=3",
+            "+model.sampler.eta=0.5",
+            "seed=7",
+        ],
+    )
+    assert cfg.model.sampler.num_steps == 7
+    assert cfg.data.batch_size == 3
+    assert cfg.model.sampler.eta == 0.5
+    # interpolation: generated_frame_length <- ${audio_len}
+    assert cfg.model.generated_frame_length == cfg.audio_len
+
+
+def test_override_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        compose(CONFIG_DIR, "train", ["model.not_a_key=1"])
+
+
+def test_multirun_expansion():
+    jobs = expand_multirun(["a=1,2", "b=x", "c=[1,2]"])
+    assert len(jobs) == 2
+    assert jobs[0] == ["a=1", "b=x", "c=[1,2]"]
+    assert jobs[1] == ["a=2", "b=x", "c=[1,2]"]
+
+
+def test_group_replacement_via_cli():
+    cfg = compose(CONFIG_DIR, "train", ["trainer=cpu"])
+    assert cfg.trainer.limit_train_batches == 2
+
+
+def test_optimizer_instantiates():
+    import optax
+
+    cfg = compose(CONFIG_DIR, "train", [])
+    opt = instantiate(cfg.model.optimizer)
+    assert isinstance(opt, optax.GradientTransformation)

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Capability parity with the reference ``src/train.py``: compose config,
+seed, instantiate datamodule/model/trainer/loggers, fit (optionally resume
+from ``ckpt_path``), optionally test, return the optimized metric for
+hyperparameter sweeps. Supports ``--multirun`` with comma-separated override
+values like the reference's hydra sweeps (README.md:54-58).
+
+Usage:
+    python train.py experiment=sc09/diffunet_complex_sc09 [key=value ...]
+    python train.py --multirun experiment=... model.optimizer.learning_rate=1e-4,4e-5
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).parent
+sys.path.insert(0, str(ROOT))
+
+# honor JAX_PLATFORMS even when a site customisation pins another platform
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from audiodiffuser_tpu.config import compose, expand_multirun, instantiate
+from audiodiffuser_tpu.utils import (
+    get_metric_value,
+    print_config_tree,
+    seed_everything,
+    task_wrapper,
+)
+
+
+def build_logger(cfg, output_dir):
+    from audiodiffuser_tpu.training.logging import (
+        BaseLogger,
+        CSVLogger,
+        MultiLogger,
+        TensorBoardLogger,
+        WandbLogger,
+    )
+
+    loggers = []
+    for name, sub in (cfg.get("logger") or {}).items():
+        if sub is None:
+            continue
+        if name == "csv":
+            loggers.append(CSVLogger(str(output_dir)))
+        elif name == "tensorboard":
+            loggers.append(TensorBoardLogger(str(output_dir)))
+        elif name == "wandb":
+            loggers.append(WandbLogger(str(output_dir), **{k: v for k, v in sub.items() if k in ("project", "group", "tags")}))
+    return MultiLogger(loggers) if loggers else BaseLogger()
+
+
+def build_trainer_and_task(cfg, output_dir):
+    from audiodiffuser_tpu.training.trainer import Trainer
+
+    model_cfg = dict(cfg.model)
+    optimizer_cfg = model_cfg.pop("optimizer")
+    model_cfg.pop("scheduler", None)
+    task = instantiate(model_cfg)
+    optimizer = instantiate(optimizer_cfg)
+
+    trainer_cfg = {
+        k: v
+        for k, v in dict(cfg.get("trainer", {})).items()
+        if k
+        in (
+            "max_epochs",
+            "min_epochs",
+            "max_steps",
+            "check_val_every_n_epoch",
+            "limit_train_batches",
+            "limit_val_batches",
+            "ckpt_every_n_epochs",
+            "fast_dev_run",
+        )
+    }
+    logger = build_logger(cfg, output_dir)
+    trainer = Trainer(
+        task=task,
+        optimizer=optimizer,
+        logger=logger,
+        seed=cfg.get("seed") or 0,
+        output_dir=str(output_dir),
+        **trainer_cfg,
+    )
+    return trainer, task, logger
+
+
+@task_wrapper
+def train(cfg):
+    seed_everything(cfg.get("seed"))
+    output_dir = Path(cfg.paths.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    print_config_tree(cfg, save_to=str(output_dir / "config.json"))
+
+    datamodule = instantiate(cfg.data)
+    trainer, task, logger = build_trainer_and_task(cfg, output_dir)
+    logger.log_hyperparams(cfg.to_dict())
+
+    metrics = {}
+    state = None
+    if cfg.get("train", True):
+        state = trainer.fit(datamodule, ckpt_path=cfg.get("ckpt_path"))
+        metrics["val/loss"] = trainer.best_val_loss
+    if cfg.get("test", False):
+        if state is None and cfg.get("ckpt_path"):
+            first = next(iter(datamodule.train_dataloader()))
+            state = trainer.init_state(first)
+            state = trainer.restore_checkpoint(cfg.ckpt_path, state)
+        metrics.update(trainer.test(state, datamodule))
+    logger.finalize()
+    return metrics
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    multirun = "--multirun" in argv or "-m" in argv
+    overrides = [a for a in argv if not a.startswith("-")]
+
+    jobs = expand_multirun(overrides) if multirun else [overrides]
+    results = []
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    for i, job in enumerate(jobs):
+        cfg = compose(str(ROOT / "configs"), "train", job)
+        if not cfg.paths.get("output_dir"):
+            sub = f"multirun/{stamp}/{i}" if multirun else f"runs/{stamp}"
+            cfg.paths.output_dir = str(
+                Path(cfg.paths.log_dir) / cfg.get("task_name", "train") / sub
+            )
+        elif multirun:
+            # explicit output_dir + sweep: one subdir per job
+            cfg.paths.output_dir = str(Path(cfg.paths.output_dir) / str(i))
+        metrics = train(cfg)
+        results.append(get_metric_value(metrics, cfg.get("optimized_metric")))
+    return results[0] if len(results) == 1 else results
+
+
+if __name__ == "__main__":
+    main()
