@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Headline benchmark: SC09 complex-spectrogram generation throughput.
+
+Workload (fixed by the reference, BASELINE.md): flagship Imagen-style UNet2d
+(dim=128, mults [1,2,2,2], 256x128 complex STFT), EDM deterministic Heun
+sampler at 32 steps (NFE = 63), batch 128, full pipeline ending in iSTFT
+waveforms — the exact generation path of
+``configs/experiment/sc09_inference/*`` at ``sampler_steps: 32``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is measured samples/sec/chip divided by an *estimated*
+reference throughput on A100: the reference publishes no numbers
+(BASELINE.md), so we estimate its eager-PyTorch fp16 A100 rate from this
+model's measured FLOPs/sample at a generous 40% MFU of A100's 312 TFLOP/s
+peak — i.e. vs_baseline > 2 means ">2x the reference-A100 estimate".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).parent
+sys.path.insert(0, str(ROOT))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+STEPS = 32
+A100_PEAK_FLOPS = 312e12
+A100_ASSUMED_MFU = 0.40
+
+
+def build_task(dtype=jnp.bfloat16):
+    from audiodiffuser_tpu.diffusion import EluDiffusion
+    from audiodiffuser_tpu.models.unet2d import UNet2dBase
+    from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
+    from audiodiffuser_tpu.ops.schedules import KarrasSchedule
+    from audiodiffuser_tpu.samplers.edm import EDMSampler
+    from audiodiffuser_tpu.tasks.diffusion_task import DiffusionSpecTask
+
+    net = UNet2dBase(
+        dim=128,
+        num_classes=10,
+        dim_mults=[1, 2, 2, 2],
+        channels=2,
+        num_resnet_blocks=2,
+        resnet_groups=8,
+        layer_attns=[False, False, True, True],
+        layer_cross_attns=[False, False, True, True],
+        attn_heads=2,
+        ff_mult=2.0,
+        memory_efficient=True,
+        dtype=dtype,
+    )
+    return DiffusionSpecTask(
+        net=net,
+        diffusion=EluDiffusion(sigma_data=0.2),
+        sampler=EDMSampler(s_churn=0.0, num_steps=STEPS, use_heun=True, cond_scale=1.0),
+        noise_scheduler=KarrasSchedule(
+            sigma_min=0.002, sigma_max=80.0, rho=7.0, num_steps=STEPS
+        ),
+        noise_distribution=LogNormalDistribution(mean=-1.2, std=1.2),
+        n_fft=510,
+        hop_length=128,
+        generated_frame_length=128,
+        generated_sample_class=10,
+    )
+
+
+def main():
+    task = build_task()
+    classes = jnp.arange(BATCH, dtype=jnp.int32) % 10
+
+    # init on a tiny batch (params are batch-size independent)
+    x0 = jnp.zeros((1, 256, 128, 2))
+    params = task.net.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), classes=classes[:1]
+    )["params"]
+
+    sample_fn = jax.jit(task.make_sample_fn())
+
+    # model FLOPs per forward (for the A100 baseline estimate)
+    fwd = jax.jit(
+        lambda p, x, t, c: task.net.apply({"params": p}, x, t, classes=c)
+    )
+    try:
+        lowered = fwd.lower(
+            params, jnp.zeros((BATCH, 256, 128, 2), jnp.bfloat16), jnp.zeros((BATCH,)), classes
+        )
+        cost = lowered.compile().cost_analysis()
+        flops_per_fwd_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_fwd_batch = 0.0
+
+    # warmup / compile
+    key = jax.random.key(1)
+    out = sample_fn(params, key, classes)
+    out.block_until_ready()
+
+    # timed runs
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = sample_fn(params, jax.random.fold_in(key, i), classes)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    n_chips = max(jax.device_count(), 1)
+    samples_per_sec_chip = BATCH * iters / elapsed / n_chips
+
+    nfe = 2 * STEPS - 1
+    if flops_per_fwd_batch > 0:
+        flops_per_sample = flops_per_fwd_batch / BATCH * nfe
+        a100_est = A100_PEAK_FLOPS * A100_ASSUMED_MFU / flops_per_sample
+        vs_baseline = samples_per_sec_chip / a100_est
+    else:
+        vs_baseline = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "sc09_generation_throughput_32step_heun",
+                "value": round(samples_per_sec_chip, 3),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
