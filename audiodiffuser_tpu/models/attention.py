@@ -60,6 +60,13 @@ def sdpa_xla(q, k, v, mask=None, scale=1.0):
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
 
 
+def sdpa_auto(q, k, v, mask=None, scale=1.0):
+    """Default core: Pallas flash-attention on TPU when compatible, XLA else."""
+    from ..ops.flash_attention import attention_core_auto
+
+    return attention_core_auto(q, k, v, mask=mask, scale=scale)
+
+
 class Attention(nn.Module):
     """Multi-head attention over [B, N, D] tokens with optional text context.
 
@@ -76,7 +83,7 @@ class Attention(nn.Module):
     use_qk_l2norm: bool = False
     use_rope: bool = True
     dtype: Dtype = jnp.float32
-    attention_core: Callable = staticmethod(sdpa_xla)
+    attention_core: Callable = staticmethod(sdpa_auto)
 
     @nn.compact
     def __call__(self, x, context=None, context_mask=None):

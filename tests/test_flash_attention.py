@@ -1,0 +1,91 @@
+"""Flash-attention kernel parity tests (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiodiffuser_tpu.models.attention import sdpa_xla
+from audiodiffuser_tpu.ops import flash_attention as fa
+
+
+def _flash_interpret(q, k, v, scale):
+    """Run the kernel in interpreter mode (no TPU needed)."""
+    b, h, n, d = q.shape
+    qf, kf, vf = (t.reshape(b * h, -1, d) for t in (q, k, v))
+    kernel = functools.partial(fa._flash_kernel, scale=scale, block_k=128)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, qf.shape[1] // 128),
+        in_specs=[
+            pl.BlockSpec((1, 128, d), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((1, kf.shape[1], d), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((1, kf.shape[1], d), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, d), lambda bb, i: (bb, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
+        interpret=True,
+    )(qf, kf, vf)
+    return out.reshape(b, h, n, d)
+
+
+@pytest.mark.parametrize("n,d", [(256, 64), (128, 32)])
+def test_flash_matches_xla(n, d):
+    key = jax.random.key(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 2, n, d))
+    k = jax.random.normal(kk, (2, 2, n, d))
+    v = jax.random.normal(kv, (2, 2, n, d))
+    scale = d**-0.5
+    expect = np.asarray(sdpa_xla(q, k, v, scale=scale))
+    got = np.asarray(_flash_interpret(q, k, v, scale))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_flash_cross_attention_lengths():
+    """n_q != n_k (cross attention)."""
+    key = jax.random.key(1)
+    q = jax.random.normal(key, (1, 2, 128, 64))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 256, 64))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, 256, 64))
+    expect = np.asarray(sdpa_xla(q, k, v, scale=0.125))
+    got = np.asarray(_flash_interpret(q, k, v, 0.125))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_auto_core_falls_back_on_cpu_and_masks():
+    # CPU platform -> always the XLA path; just check numerics flow through
+    q = jax.random.normal(jax.random.key(2), (1, 2, 64, 32))
+    k = jax.random.normal(jax.random.key(3), (1, 2, 64, 32))
+    v = jax.random.normal(jax.random.key(4), (1, 2, 64, 32))
+    mask = jnp.ones((1, 64), dtype=bool)
+    out = fa.attention_core_auto(q, k, v, mask=mask, scale=0.2)
+    expect = sdpa_xla(q, k, v, mask=mask, scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+
+def test_flash_custom_vjp_grads():
+    """Backward (XLA recompute) must match autodiff through the reference."""
+    q = jax.random.normal(jax.random.key(5), (4, 64, 32))
+    k = jax.random.normal(jax.random.key(6), (4, 64, 32))
+    v = jax.random.normal(jax.random.key(7), (4, 64, 32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa._sdpa_reference(q, k, v, 0.25) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    # custom_vjp backward path, with the fwd swapped for interpret-mode
+    def loss_flash(q, k, v):
+        out, vjp = jax.vjp(lambda a, b, c: fa._sdpa_reference(a, b, c, 0.25), q, k, v)
+        return jnp.sum(out**2)
+
+    # the _flash_bwd function itself:
+    grads = fa._flash_bwd(0.25, 128, 128, (q, k, v),
+                          2 * fa._sdpa_reference(q, k, v, 0.25))
+    for a, b in zip(grads, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
