@@ -32,6 +32,12 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# persistent compilation cache: repeated bench runs skip the (slow) compile
+_CACHE = ROOT / ".jax_cache"
+_CACHE.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,38 +96,35 @@ def main():
 
     sample_fn = jax.jit(task.make_sample_fn())
 
-    # model FLOPs per forward (for the A100 baseline estimate)
-    fwd = jax.jit(
-        lambda p, x, t, c: task.net.apply({"params": p}, x, t, classes=c)
+    # warmup / compile (one compile: cost analysis reuses this executable)
+    key = jax.random.key(1)
+    t_compile = time.perf_counter()
+    compiled = sample_fn.lower(params, key, classes).compile()
+    print(
+        f"# compile: {time.perf_counter() - t_compile:.1f}s", file=sys.stderr
     )
     try:
-        lowered = fwd.lower(
-            params, jnp.zeros((BATCH, 256, 128, 2), jnp.bfloat16), jnp.zeros((BATCH,)), classes
-        )
-        cost = lowered.compile().cost_analysis()
-        flops_per_fwd_batch = float(cost.get("flops", 0.0))
+        cost = compiled.cost_analysis()
+        total_flops_per_gen_batch = float(cost.get("flops", 0.0))
     except Exception:
-        flops_per_fwd_batch = 0.0
+        total_flops_per_gen_batch = 0.0
 
-    # warmup / compile
-    key = jax.random.key(1)
-    out = sample_fn(params, key, classes)
+    out = compiled(params, key, classes)
     out.block_until_ready()
 
     # timed runs
     iters = int(os.environ.get("BENCH_ITERS", 3))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = sample_fn(params, jax.random.fold_in(key, i), classes)
+        out = compiled(params, jax.random.fold_in(key, i), classes)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     n_chips = max(jax.device_count(), 1)
     samples_per_sec_chip = BATCH * iters / elapsed / n_chips
 
-    nfe = 2 * STEPS - 1
-    if flops_per_fwd_batch > 0:
-        flops_per_sample = flops_per_fwd_batch / BATCH * nfe
+    if total_flops_per_gen_batch > 0:
+        flops_per_sample = total_flops_per_gen_batch / BATCH
         a100_est = A100_PEAK_FLOPS * A100_ASSUMED_MFU / flops_per_sample
         vs_baseline = samples_per_sec_chip / a100_est
     else:
