@@ -321,6 +321,11 @@ def instantiate(node: Any, **kwargs):
     partial = node.pop("_partial_", False)
     built = {}
     for k, v in node.items():
+        if k == "dtype" and isinstance(v, str):
+            import numpy as _np
+
+            built[k] = _np.dtype(v)  # 'bfloat16' etc. via ml_dtypes
+            continue
         if isinstance(v, dict) and "_target_" in v:
             built[k] = instantiate(v)
         elif isinstance(v, dict):

@@ -63,9 +63,14 @@ def build_trainer_and_task(cfg, output_dir):
     from audiodiffuser_tpu.training.trainer import Trainer
 
     model_cfg = dict(cfg.model)
-    optimizer_cfg = model_cfg.pop("optimizer")
-    model_cfg.pop("scheduler", None)
+    optimizer_cfg = dict(model_cfg.pop("optimizer"))
+    scheduler_cfg = model_cfg.pop("scheduler", None)
     task = instantiate(model_cfg)
+    if scheduler_cfg:
+        # an optax schedule replaces the scalar learning rate, e.g.
+        # scheduler: {_target_: optax.cosine_decay_schedule,
+        #             init_value: 1e-4, decay_steps: 100000}
+        optimizer_cfg["learning_rate"] = instantiate(scheduler_cfg)
     optimizer = instantiate(optimizer_cfg)
 
     trainer_cfg = {
@@ -95,12 +100,33 @@ def build_trainer_and_task(cfg, output_dir):
     return trainer, task, logger
 
 
+def apply_debug_config(cfg, output_dir):
+    """jax-native debug/profiling toggles (configs/debug/*): NaN detection
+    replaces torch detect_anomaly; the jax profiler replaces the Lightning
+    profilers (SURVEY §5.1-5.2)."""
+    dbg = cfg.get("debug")
+    if not dbg:
+        return None
+    import jax
+
+    if dbg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+    if dbg.get("disable_jit"):
+        jax.config.update("jax_disable_jit", True)
+    if dbg.get("profile"):
+        trace_dir = str(Path(output_dir) / "profile")
+        jax.profiler.start_trace(trace_dir)
+        return trace_dir
+    return None
+
+
 @task_wrapper
 def train(cfg):
     seed_everything(cfg.get("seed"))
     output_dir = Path(cfg.paths.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     print_config_tree(cfg, save_to=str(output_dir / "config.json"))
+    trace_dir = apply_debug_config(cfg, output_dir)
 
     datamodule = instantiate(cfg.data)
     trainer, task, logger = build_trainer_and_task(cfg, output_dir)
@@ -117,6 +143,11 @@ def train(cfg):
             state = trainer.init_state(first)
             state = trainer.restore_checkpoint(cfg.ckpt_path, state)
         metrics.update(trainer.test(state, datamodule))
+    if trace_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {trace_dir}")
     logger.finalize()
     return metrics
 
