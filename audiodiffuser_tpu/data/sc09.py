@@ -123,6 +123,7 @@ class DataLoader:
         self.shard_index = shard_index
         self.prefetch = prefetch
         self.epoch = 0
+        self._native_lengths = None
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -137,17 +138,46 @@ class DataLoader:
             rng.shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
 
+    def _native_batch(self, chunk: np.ndarray, rng: np.random.Generator):
+        """Decode a whole batch in one native call (crop/pad in C)."""
+        from . import native_loader
+
+        paths = [self.dataset.filenames[int(i)] for i in chunk]
+        if self._native_lengths is None:
+            self._native_lengths = {}
+        starts = []
+        for p in paths:
+            if p not in self._native_lengths:
+                self._native_lengths[p] = native_loader.num_frames(p)
+            n = self._native_lengths[p]
+            tl = self.collator.audio_len
+            starts.append(int(rng.integers(0, n - tl + 1)) if n > tl else 0)
+        audio = native_loader.load_batch(paths, self.collator.audio_len, starts)
+        labels = np.asarray([label_from_filename(p) for p in paths], np.int32)
+        return {"audio": audio, "label": labels}
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()
         self.epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        from . import native_loader
+
+        use_native = native_loader.available()
+        rng = np.random.default_rng(self.seed + self.epoch)
+
         def producer():
             n = len(idx)
             end = n - (n % self.batch_size) if self.drop_last else n
             for start in range(0, end, self.batch_size):
                 chunk = idx[start : start + self.batch_size]
+                if use_native:
+                    try:
+                        q.put(self._native_batch(chunk, rng))
+                        continue
+                    except IOError:
+                        pass  # odd file -> python fallback below
                 records = [self.dataset[int(i)] for i in chunk]
                 q.put(self.collator(records))
             q.put(sentinel)
