@@ -76,6 +76,8 @@ class WNConvTranspose1d(nn.Module):
         )
         norm = jnp.sqrt(jnp.sum(v.reshape(-1, self.features) ** 2, axis=0))
         kernel = v * (g / jnp.maximum(norm, 1e-12))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
         out = jax.lax.conv_general_dilated(
             x,

@@ -90,6 +90,8 @@ class WNConv(nn.Module):
         dilation = self.kernel_dilation or (1,) * ndim_sp
         if isinstance(dilation, int):
             dilation = (dilation,) * ndim_sp
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         if ndim_sp == 1:
             dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
         else:

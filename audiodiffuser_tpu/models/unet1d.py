@@ -96,6 +96,8 @@ class ConvTranspose1d(nn.Module):
         kernel = self.param(
             "kernel", kernel_init, (k, x.shape[-1], self.features)
         )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NWC", "WIO", "NWC")
         )

@@ -41,6 +41,8 @@ class ScalarWNConv1d(nn.Module):
         )
         g = self.param("g", lambda key: jnp.linalg.norm(v.reshape(-1)))
         kernel = v * (g / jnp.maximum(jnp.linalg.norm(v.reshape(-1)), 1e-12))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NWC", "WIO", "NWC"))
         out = jax.lax.conv_general_dilated(
             x,

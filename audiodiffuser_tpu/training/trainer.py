@@ -70,8 +70,13 @@ class Trainer:
         output_dir: str = "outputs",
         mesh=None,
         fast_dev_run: bool = False,
+        accumulate_grad_batches: int = 1,
     ):
         self.task = task
+        if accumulate_grad_batches > 1:
+            optimizer = optax.MultiSteps(
+                optimizer, every_k_schedule=accumulate_grad_batches
+            )
         self.optimizer = optimizer
         self.max_epochs = max_epochs
         self.min_epochs = min_epochs

@@ -65,6 +65,12 @@ def build_trainer_and_task(cfg, output_dir):
     model_cfg = dict(cfg.model)
     optimizer_cfg = dict(model_cfg.pop("optimizer"))
     scheduler_cfg = model_cfg.pop("scheduler", None)
+    # trainer.precision: 'bf16-mixed' runs the net in bfloat16 activations
+    # with fp32 params/optimizer (the reference's `+trainer.precision=16-mixed`)
+    precision = str(cfg.get("trainer", {}).get("precision", "")).lower()
+    if precision in ("bf16", "bf16-mixed", "16-mixed") and "net" in model_cfg:
+        model_cfg["net"] = dict(model_cfg["net"])
+        model_cfg["net"]["dtype"] = "bfloat16"
     task = instantiate(model_cfg)
     if scheduler_cfg:
         # an optax schedule replaces the scalar learning rate, e.g.
@@ -86,6 +92,7 @@ def build_trainer_and_task(cfg, output_dir):
             "limit_val_batches",
             "ckpt_every_n_epochs",
             "fast_dev_run",
+            "accumulate_grad_batches",
         )
     }
     logger = build_logger(cfg, output_dir)
