@@ -206,10 +206,30 @@ def _parse_override_value(text: str):
     return yaml.load(text, Loader=_ConfigLoader)
 
 
+def _walk_dotted(cfg: dict, dotted: str):
+    """Resolve a dotted path to (parent, final_key); a remaining suffix that
+    exists verbatim as a literal dotted key is accepted (search-space specs
+    use keys like 'data.batch_size')."""
+    parts = dotted.split(".")
+    node = cfg
+    for i, p in enumerate(parts[:-1]):
+        rest = ".".join(parts[i:])
+        if isinstance(node, dict) and rest in node:
+            return node, rest
+        if not isinstance(node, dict) or p not in node:
+            return node, None
+        node = node[p]
+    return node, parts[-1]
+
+
 def _set_dotted(cfg: dict, dotted: str, value, allow_new: bool):
     parts = dotted.split(".")
     node = cfg
-    for p in parts[:-1]:
+    for i, p in enumerate(parts[:-1]):
+        rest = ".".join(parts[i:])
+        if isinstance(node, dict) and rest in node:
+            node[rest] = value
+            return
         if p not in node or not isinstance(node[p], dict):
             if allow_new:
                 node[p] = {}
@@ -226,11 +246,9 @@ def _set_dotted(cfg: dict, dotted: str, value, allow_new: bool):
 
 
 def _del_dotted(cfg: dict, dotted: str):
-    parts = dotted.split(".")
-    node = cfg
-    for p in parts[:-1]:
-        node = node[p]
-    node.pop(parts[-1], None)
+    parent, key = _walk_dotted(cfg, dotted)
+    if isinstance(parent, dict) and key is not None:
+        parent.pop(key, None)
 
 
 def compose(

@@ -189,7 +189,13 @@ class Trainer:
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 
-        first_batch = next(iter(train_loader))
+        try:
+            first_batch = next(iter(train_loader))
+        except StopIteration:
+            raise RuntimeError(
+                "training dataloader yielded no batches — dataset smaller "
+                "than batch_size with drop_last, or empty data_dir"
+            ) from None
         self._fit_mesh_to_batch(first_batch["audio"].shape[0])
         if state is None:
             state = self.init_state(first_batch)

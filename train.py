@@ -159,10 +159,58 @@ def train(cfg):
     return metrics
 
 
+def sample_search_overrides(search_cfg, rng):
+    """Draw one trial's overrides from an hparams_search spec."""
+    out = []
+    for key, spec in dict(search_cfg.get("params", {})).items():
+        if "choices" in spec:
+            val = spec["choices"][rng.integers(len(spec["choices"]))]
+        elif spec.get("log"):
+            import math
+
+            val = math.exp(
+                rng.uniform(math.log(spec["low"]), math.log(spec["high"]))
+            )
+        else:
+            val = float(rng.uniform(spec["low"], spec["high"]))
+        out.append(f"{key}={val}")
+    return out
+
+
+def run_hparams_search(base_overrides, stamp):
+    """Random-search sweeper (replaces the reference's optuna sweeper)."""
+    import numpy as np
+
+    probe = compose(str(ROOT / "configs"), "train", base_overrides)
+    search = probe.hparams_search
+    rng = np.random.default_rng(search.get("seed", 0))
+    best_val, best_overrides = None, None
+    sign = -1.0 if search.get("direction", "minimize") == "maximize" else 1.0
+    for trial in range(search["n_trials"]):
+        trial_over = base_overrides + sample_search_overrides(search, rng)
+        cfg = compose(str(ROOT / "configs"), "train", trial_over)
+        cfg.paths.output_dir = str(
+            Path(cfg.paths.log_dir)
+            / cfg.get("task_name", "train")
+            / f"search/{stamp}/{trial}"
+        )
+        metrics = train(cfg)
+        val = get_metric_value(metrics, cfg.get("optimized_metric"))
+        print(f"[search] trial {trial}: {trial_over[-len(search['params']):]} -> {val}")
+        if val is not None and (best_val is None or sign * val < sign * best_val):
+            best_val, best_overrides = val, trial_over
+    print(f"[search] best {cfg.get('optimized_metric')}={best_val} with {best_overrides}")
+    return best_val
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = "--multirun" in argv or "-m" in argv
     overrides = [a for a in argv if not a.startswith("-")]
+
+    stamp0 = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if any(o.startswith("hparams_search=") for o in overrides):
+        return run_hparams_search(overrides, stamp0)
 
     jobs = expand_multirun(overrides) if multirun else [overrides]
     results = []
