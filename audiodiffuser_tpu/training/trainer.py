@@ -71,6 +71,9 @@ class Trainer:
         mesh=None,
         fast_dev_run: bool = False,
         accumulate_grad_batches: int = 1,
+        early_stopping_patience: Optional[int] = None,
+        early_stopping_min_delta: float = 0.0,
+        progress_bar: bool = True,
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -102,6 +105,11 @@ class Trainer:
             self.ema = TraditionalEMA(halflife_Mimg=0.3, rampup_ratio=0.09)
         else:
             self.ema = None
+
+        self.early_stopping_patience = early_stopping_patience
+        self.early_stopping_min_delta = early_stopping_min_delta
+        self.progress_bar = progress_bar
+        self._epochs_without_improvement = 0
 
         self.best_val_loss = float("inf")
         self._compiled_train_step = None
@@ -203,6 +211,13 @@ class Trainer:
             state = self.restore_checkpoint(ckpt_path, state)
         self._compile()
 
+        # param-count summary (reference logging_utils.py:10-51)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+        if is_main_process():
+            print(f"[trainer] model parameters: {n_params:,}")
+            if self.logger:
+                self.logger.log_metrics({"model/params": n_params}, 0)
+
         key = jax.random.key(self.seed + 1)
         step = int(jax.device_get(state.step))
         epoch = 0
@@ -211,7 +226,19 @@ class Trainer:
         while epoch < self.max_epochs and not done:
             t0 = time.time()
             losses = []
-            for i, batch in enumerate(train_loader):
+            iterator = enumerate(train_loader)
+            if self.progress_bar and is_main_process():
+                from tqdm import tqdm
+
+                iterator = enumerate(
+                    tqdm(
+                        train_loader,
+                        total=len(train_loader),
+                        desc=f"epoch {epoch}",
+                        leave=False,
+                    )
+                )
+            for i, batch in iterator:
                 if self.limit_train_batches and i >= self.limit_train_batches:
                     break
                 key, sub = jax.random.split(key)
@@ -239,7 +266,26 @@ class Trainer:
             }
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
-                log.update(self.validate(state, val_loader, key, step))
+                prev_best = self.best_val_loss
+                val_log = self.validate(state, val_loader, key, step)
+                log.update(val_log)
+                # early stopping on val/loss (reference callbacks/early_stopping)
+                if self.early_stopping_patience is not None:
+                    if val_log["val/loss"] < prev_best - self.early_stopping_min_delta:
+                        self._epochs_without_improvement = 0
+                    else:
+                        self._epochs_without_improvement += 1
+                    if (
+                        self._epochs_without_improvement
+                        >= self.early_stopping_patience
+                        and epoch + 1 >= self.min_epochs
+                    ):
+                        print(
+                            f"[trainer] early stopping at epoch {epoch} "
+                            f"(no val/loss improvement for "
+                            f"{self._epochs_without_improvement} epochs)"
+                        )
+                        done = True
 
             if self.logger and is_main_process():
                 self.logger.log_metrics(log, step)

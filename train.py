@@ -93,6 +93,9 @@ def build_trainer_and_task(cfg, output_dir):
             "ckpt_every_n_epochs",
             "fast_dev_run",
             "accumulate_grad_batches",
+            "early_stopping_patience",
+            "early_stopping_min_delta",
+            "progress_bar",
         )
     }
     logger = build_logger(cfg, output_dir)
