@@ -85,6 +85,19 @@ def build_task(dtype=jnp.bfloat16):
 
 
 def main():
+    last_err = None
+    ladder = [b for b in dict.fromkeys([BATCH, 64, 32, 16]) if b <= BATCH]
+    for batch in ladder:
+        try:
+            return run(batch)
+        except Exception as e:  # device OOM/fault: retry smaller
+            last_err = e
+            print(f"# batch {batch} failed: {type(e).__name__}; retrying smaller",
+                  file=sys.stderr)
+    raise last_err
+
+
+def run(BATCH):
     task = build_task()
     classes = jnp.arange(BATCH, dtype=jnp.int32) % 10
 
