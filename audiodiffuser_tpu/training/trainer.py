@@ -340,6 +340,19 @@ class Trainer:
             batch_size = datamodule.batch_size if datamodule else 16
         total = self.task.total_test_samples or batch_size
         iterations = max(total // batch_size, 1)
+
+        # shard generation across the mesh when the batch divides it: the
+        # class/noise batch axis is partitioned over 'data', params replicated
+        sample_fn = self._sample_fn
+        if batch_size % self.mesh.devices.size == 0 and self.mesh.devices.size > 1:
+            from ..parallel.mesh import batch_sharding, replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+            sample_fn = jax.jit(
+                self.task.make_sample_fn(),
+                in_shardings=(rep, rep, batch_sharding(self.mesh)),
+                out_shardings=batch_sharding(self.mesh),
+            )
         out = self.output_dir / "test_samples"
         if is_main_process():
             out.mkdir(parents=True, exist_ok=True)
@@ -350,7 +363,7 @@ class Trainer:
         t_start = time.time()
         for it in range(iterations):
             key, sub = jax.random.split(key)
-            audio = jax.device_get(self._sample_fn(params, sub, classes))
+            audio = jax.device_get(sample_fn(params, sub, classes))
             if is_main_process():
                 for j in range(audio.shape[0]):
                     fname = f"test_{int(classes[j])}_{it * batch_size + j}.wav"

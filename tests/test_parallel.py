@@ -92,6 +92,21 @@ def test_sharded_loss_matches_single_device():
     )
 
 
+def test_sharded_generation_harness(tmp_path):
+    """trainer.test partitions the generation batch over the 8-device mesh."""
+    task = _tiny_task()
+    mesh = create_mesh()
+    trainer = Trainer(
+        task=task, optimizer=optax.adamw(1e-3), mesh=mesh, output_dir=str(tmp_path)
+    )
+    batch = _batch(8)
+    state = trainer.init_state(batch)
+    metrics = trainer.test(state, batch_size=8)
+    assert metrics["test/num_samples"] == 8
+    wavs = list((tmp_path / "test_samples").glob("*.wav"))
+    assert len(wavs) == 8
+
+
 def test_trainer_step_on_mesh_updates_params():
     task = _tiny_task()
     mesh = create_mesh()
