@@ -109,18 +109,23 @@ def run(BATCH):
 
     sample_fn = jax.jit(task.make_sample_fn())
 
-    # warmup / compile (one compile: cost analysis reuses this executable)
+    # analytic FLOPs (jaxpr walk; device cost_analysis is unreliable here)
+    from audiodiffuser_tpu.ops.flops import count_flops
+
     key = jax.random.key(1)
+    try:
+        total_flops_per_gen_batch = count_flops(
+            task.make_sample_fn(), params, key, classes
+        )
+    except Exception:
+        total_flops_per_gen_batch = 0.0
+
+    # warmup / compile
     t_compile = time.perf_counter()
     compiled = sample_fn.lower(params, key, classes).compile()
     print(
         f"# compile: {time.perf_counter() - t_compile:.1f}s", file=sys.stderr
     )
-    try:
-        cost = compiled.cost_analysis()
-        total_flops_per_gen_batch = float(cost.get("flops", 0.0))
-    except Exception:
-        total_flops_per_gen_batch = 0.0
 
     out = compiled(params, key, classes)
     out.block_until_ready()
@@ -130,7 +135,9 @@ def run(BATCH):
     t0 = time.perf_counter()
     for i in range(iters):
         out = compiled(params, jax.random.fold_in(key, i), classes)
-    out.block_until_ready()
+    # force full completion (block_until_ready can be lazy through remote
+    # device tunnels); a scalar reduction + host transfer is authoritative
+    float(jnp.sum(out))
     elapsed = time.perf_counter() - t0
 
     n_chips = max(jax.device_count(), 1)
