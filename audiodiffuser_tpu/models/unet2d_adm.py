@@ -40,6 +40,46 @@ class GroupNorm32(nn.Module):
         return out.astype(dtype)
 
 
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling over a feature map (reference :51-80):
+    prepend the spatial mean as a query token, QKV-attend, return its output.
+    Input [B, H, W, C] -> [B, output_dim]."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads_channels: int
+    output_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        mean = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean, tokens], axis=1)  # [B, HW+1, C]
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(1.0 / c**0.5),
+            (self.spacial_dim**2 + 1, c),
+        )
+        tokens = tokens + pos[None, : tokens.shape[1]]
+
+        heads = self.embed_dim // self.num_heads_channels
+        ch = c // heads
+        qkv = nn.Conv(3 * c, (1,), dtype=self.dtype, name="qkv_proj")(tokens)
+        qkv = qkv.reshape(b, tokens.shape[1], heads, 3 * ch).transpose(0, 2, 1, 3)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / (ch**0.25)
+        weight = jnp.einsum("bhtc,bhsc->bhts", q * scale, k * scale)
+        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
+        a = jnp.einsum("bhts,bhsc->bhtc", weight, v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, tokens.shape[1], c)
+        out = nn.Conv(
+            self.output_dim or self.embed_dim, (1,), dtype=self.dtype, name="c_proj"
+        )(a)
+        return out[:, 0]
+
+
 class ResBlock(nn.Module):
     """ADM residual block with optional scale-shift-norm FiLM and built-in
     up/downsampling (reference :162-272)."""

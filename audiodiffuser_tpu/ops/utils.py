@@ -36,6 +36,16 @@ def clip(x: jnp.ndarray, dynamic_threshold: float = 0.0) -> jnp.ndarray:
     return jnp.clip(x, -scale, scale) / scale
 
 
+def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
+    """[B] lengths -> [B, max_length] bool mask (True inside the sequence).
+
+    jit-safe variant of the reference's sequence_mask/lengths_to_mask
+    (operator_utils.py:11-34): max_length must be static under jit.
+    """
+    positions = jnp.arange(max_length)
+    return positions[None, :] < lengths[:, None]
+
+
 def to_batch(
     batch_size: int,
     sigma: Optional[Union[float, jnp.ndarray]] = None,

@@ -41,7 +41,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", 128))
+# default 64: the largest batch that fits the single dev-tunnel chip today
+# (throughput is within noise of 128 on paper; a fallback ladder handles
+# smaller-memory devices). Override with BENCH_BATCH.
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 STEPS = 32
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.40
