@@ -40,16 +40,23 @@ def _cfg_apply(
     x: jnp.ndarray,
     c_noise: jnp.ndarray,
     cond_scale: float,
+    cfg_batched: bool = True,
     **cond: Any,
 ) -> jnp.ndarray:
     """Evaluate net with classifier-free guidance.
 
     cond_scale == 1 -> single conditional call. Otherwise the conditional and
-    unconditional (null-embedding) branches run as one concatenated batch and
-    are interpolated: null + (cond - null) * cond_scale.
+    unconditional (null-embedding) branches are interpolated
+    null + (cond - null) * cond_scale — evaluated as one concatenated batch
+    (default; ~2x MXU utilisation) or as two sequential calls
+    (``cfg_batched=False``; halves peak activation memory).
     """
     if cond_scale == 1.0:
         return net(x, c_noise, cond_drop_prob=0.0, **cond)
+    if not cfg_batched:
+        x_pred = net(x, c_noise, cond_drop_prob=0.0, **cond)
+        null_pred = net(x, c_noise, cond_drop_prob=1.0, **cond)
+        return null_pred + (x_pred - null_pred) * cond_scale
     b = x.shape[0]
     x2 = jnp.concatenate([x, x], axis=0)
     c2 = jnp.concatenate([c_noise, c_noise], axis=0) if jnp.ndim(c_noise) > 0 else c_noise
@@ -87,6 +94,8 @@ class Diffusion:
     """
 
     dynamic_threshold: float = 0.0
+    # batched CFG (single doubled-batch net call) vs two sequential calls
+    cfg_batched: bool = True
 
     # -- formulation-specific -------------------------------------------------
     def get_scale_weights(
@@ -113,7 +122,9 @@ class Diffusion:
         c_skip, c_out, c_in, c_noise = self.get_scale_weights(sigmas, x_noisy.ndim)
 
         if inference:
-            x_pred = _cfg_apply(net, c_in * x_noisy, c_noise, cond_scale, **kwargs)
+            x_pred = _cfg_apply(
+                net, c_in * x_noisy, c_noise, cond_scale, self.cfg_batched, **kwargs
+            )
         else:
             x_pred = net(c_in * x_noisy, c_noise, **kwargs)
 
@@ -280,7 +291,9 @@ class VDiffusion(Diffusion):
             sigmas = logsnr
 
         if inference:
-            v_pred = _cfg_apply(net, x_noisy, sigmas, cond_scale, **kwargs)
+            v_pred = _cfg_apply(
+                net, x_noisy, sigmas, cond_scale, self.cfg_batched, **kwargs
+            )
         else:
             v_pred = net(x_noisy, sigmas, **kwargs)
 
@@ -361,7 +374,9 @@ class ReFlow(Diffusion):
             x_noisy = x_noisy * (1.0 - extend_dim(sigmas, x_noisy.ndim))
 
         if inference:
-            x_pred = _cfg_apply(net, x_noisy, sigmas, cond_scale, **kwargs)
+            x_pred = _cfg_apply(
+                net, x_noisy, sigmas, cond_scale, self.cfg_batched, **kwargs
+            )
         else:
             x_pred = net(x_noisy, sigmas, **kwargs)
 
