@@ -46,6 +46,18 @@ def evaluate(cfg):
     state = trainer.init_state(first)
     state = trainer.restore_checkpoint(cfg.ckpt_path, state)
     metrics = trainer.test(state, datamodule)
+
+    # optional quality metric: FAD of the generated set vs a reference dir
+    # (enable with +fad_reference_dir=/path/to/real/wavs)
+    fad_ref = cfg.get("fad_reference_dir")
+    if fad_ref:
+        from audiodiffuser_tpu.evaluation.fad import fad_between_dirs
+
+        fad = fad_between_dirs(fad_ref, output_dir / "test_samples")
+        print(f"FAD vs {fad_ref}: {fad:.4f}")
+        metrics["test/fad"] = fad
+        logger.log_metrics({"test/fad": fad}, 0)
+
     logger.finalize()
     return metrics
 
