@@ -70,6 +70,10 @@ class EDMSampler:
 
         def euler_pre(x, sigma, gamma, i):
             """Churn + Euler half of a step; returns (x_hat, sigma_hat, d)."""
+            if self.s_churn == 0:
+                # statically churn-free (DDIM): no per-step RNG work at all
+                denoised = self._denoise(fn, x, sigma)
+                return x, sigma, (x - denoised) / sigma
             sigma_hat = sigma + gamma * sigma
             eps = self.s_noise * step_noise(key, i, x.shape, x.dtype)
             bump = jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
