@@ -13,7 +13,9 @@ from .schedules import (
     VPSchedule,
     VSchedule,
 )
-from .utils import clip, extend_dim, to_batch
+from .flops import count_flops
+from .stft import hann_window, istft, spec_back, spec_fwd, stft
+from .utils import clip, extend_dim, sequence_mask, to_batch
 
 __all__ = [
     "GeometricSchedule",
@@ -28,6 +30,13 @@ __all__ = [
     "VPSchedule",
     "VSchedule",
     "clip",
+    "count_flops",
     "extend_dim",
+    "hann_window",
+    "istft",
+    "sequence_mask",
+    "spec_back",
+    "spec_fwd",
+    "stft",
     "to_batch",
 ]
