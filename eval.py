@@ -28,7 +28,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 from audiodiffuser_tpu.config import compose, expand_multirun, instantiate
 from audiodiffuser_tpu.utils import print_config_tree, seed_everything, task_wrapper
-from train import build_trainer_and_task
+from train import apply_debug_config, build_trainer_and_task
 
 
 @task_wrapper
@@ -38,6 +38,7 @@ def evaluate(cfg):
     output_dir = Path(cfg.paths.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     print_config_tree(cfg, save_to=str(output_dir / "config.json"))
+    apply_debug_config(cfg, output_dir)
 
     datamodule = instantiate(cfg.data)
     trainer, task, logger = build_trainer_and_task(cfg, output_dir)
