@@ -74,6 +74,7 @@ class Trainer:
         early_stopping_patience: Optional[int] = None,
         early_stopping_min_delta: float = 0.0,
         progress_bar: bool = True,
+        log_every_n_steps: int = 50,
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -109,6 +110,7 @@ class Trainer:
         self.early_stopping_patience = early_stopping_patience
         self.early_stopping_min_delta = early_stopping_min_delta
         self.progress_bar = progress_bar
+        self.log_every_n_steps = log_every_n_steps
         self._epochs_without_improvement = 0
 
         self.best_val_loss = float("inf")
@@ -246,6 +248,15 @@ class Trainer:
                 state, metrics = self._compiled_train_step(state, sharded, sub)
                 losses.append(metrics["train/loss"])
                 step += 1
+                if (
+                    self.logger
+                    and is_main_process()
+                    and step % self.log_every_n_steps == 0
+                ):
+                    self.logger.log_metrics(
+                        {"train/loss_step": float(jax.device_get(metrics["train/loss"]))},
+                        step,
+                    )
 
                 if self.ema is not None:
                     nitem = int(jax.device_get(state.cur_nitem))
@@ -258,12 +269,17 @@ class Trainer:
                     break
 
             train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else 0.0
+            epoch_time = time.time() - t0
+            items = int(jax.device_get(state.cur_nitem))
             log = {
                 "train/loss": train_loss,
                 "epoch": epoch,
-                "epoch_time": time.time() - t0,
-                "seen_items": int(jax.device_get(state.cur_nitem)),
+                "epoch_time": epoch_time,
+                "seen_items": items,
+                "train/items_per_sec": (items - getattr(self, "_prev_items", 0))
+                / max(epoch_time, 1e-9),
             }
+            self._prev_items = items
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 prev_best = self.best_val_loss
