@@ -50,6 +50,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     ema_state: Any  # {'emas': [...]} or None
     cur_nitem: jnp.ndarray
+    epoch: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 class Trainer:
@@ -222,7 +223,7 @@ class Trainer:
 
         key = jax.random.key(self.seed + 1)
         step = int(jax.device_get(state.step))
-        epoch = 0
+        epoch = int(jax.device_get(state.epoch))  # resume-aware
         snapshot_marker = 0
         done = False
         while epoch < self.max_epochs and not done:
@@ -306,11 +307,14 @@ class Trainer:
             if self.logger and is_main_process():
                 self.logger.log_metrics(log, step)
 
-            if (epoch + 1) % self.ckpt_every_n_epochs == 0 or epoch + 1 == self.max_epochs:
-                self.save_checkpoint(state, name=f"epoch_{epoch:03d}")
-            self.save_checkpoint(state, name="last")
             epoch += 1
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            if epoch % self.ckpt_every_n_epochs == 0 or epoch == self.max_epochs:
+                self.save_checkpoint(state, name=f"epoch_{epoch - 1:03d}")
+            self.save_checkpoint(state, name="last")
 
+        # always leave a resumable 'last' even if no epoch ran
+        self.save_checkpoint(state, name="last")
         return state
 
     def validate(self, state, val_loader, key, step) -> Dict[str, float]:
@@ -405,6 +409,10 @@ class Trainer:
                 "opt_state": state.opt_state,
                 "ema_state": state.ema_state,
                 "cur_nitem": state.cur_nitem,
+                "epoch": state.epoch,
+                "best_val_loss": jnp.asarray(
+                    self.best_val_loss if np.isfinite(self.best_val_loss) else 1e30
+                ),
             }
         )
         self._ckpt.save(path, payload, force=True)
@@ -417,15 +425,21 @@ class Trainer:
                 "opt_state": state.opt_state,
                 "ema_state": state.ema_state,
                 "cur_nitem": state.cur_nitem,
+                "epoch": state.epoch,
+                "best_val_loss": np.asarray(1e30),
             }
         )
         payload = self._ckpt.restore(str(Path(path).absolute()), item=target)
+        best = float(payload.get("best_val_loss", 1e30))
+        if best < 1e29:
+            self.best_val_loss = min(self.best_val_loss, best)
         state = state.replace(
             step=jnp.asarray(payload["step"]),
             params=payload["params"],
             opt_state=payload["opt_state"],
             ema_state=payload["ema_state"],
             cur_nitem=jnp.asarray(payload["cur_nitem"]),
+            epoch=jnp.asarray(payload.get("epoch", 0), jnp.int32),
         )
         return replicate(self.mesh, state)
 

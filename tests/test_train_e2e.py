@@ -59,12 +59,17 @@ def test_train_generates_val_audio_and_resumes(sc09_dir, tmp_path):
     # tiny run; just confirm checkpoint exists and resume runs)
     assert (out / "checkpoints" / "last").exists()
 
-    # resume from last checkpoint and train one more epoch
+    # resume from last checkpoint and train one more epoch (the epoch
+    # counter is restored, so max_epochs must be extended)
     main(
         _overrides(
             sc09_dir,
             tmp_path,
-            [f"ckpt_path={out}/checkpoints/last", f"paths.output_dir={tmp_path}/out2"],
+            [
+                f"ckpt_path={out}/checkpoints/last",
+                f"paths.output_dir={tmp_path}/out2",
+                "trainer.max_epochs=2",
+            ],
         )
     )
     assert (tmp_path / "out2" / "checkpoints" / "last").exists()
