@@ -71,6 +71,40 @@ def replicate(mesh: Mesh, tree: PyTree) -> PyTree:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def fsdp_sharding(mesh: Mesh, tree: PyTree, axis: str = "data", min_size: int = 2**14) -> PyTree:
+    """Zero-3/FSDP-style parameter sharding specs for a pytree.
+
+    Each array larger than ``min_size`` elements is sharded along its largest
+    dimension divisible by the axis size; everything else is replicated. XLA
+    inserts the all-gathers in the forward/backward pass and the
+    reduce-scatters for the gradients — no explicit collectives needed.
+    """
+    n = mesh.shape[axis]
+
+    def spec_for(x) -> NamedSharding:
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        # largest divisible dim
+        cands = [(d, i) for i, d in enumerate(shape) if d % n == 0]
+        if not cands:
+            return NamedSharding(mesh, P())
+        _, idx = max(cands)
+        parts: list = [None] * len(shape)
+        parts[idx] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree.map(spec_for, tree)
+
+
+def shard_params_fsdp(
+    mesh: Mesh, params: PyTree, axis: str = "data", min_size: int = 2**14
+) -> PyTree:
+    """Device-put params with FSDP sharding specs."""
+    specs = fsdp_sharding(mesh, params, axis, min_size)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, specs)
+
+
 def is_main_process() -> bool:
     """Rank-zero gating for side effects (wav/snapshot/ckpt writes)."""
     return jax.process_index() == 0

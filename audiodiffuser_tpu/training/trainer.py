@@ -39,6 +39,7 @@ from ..parallel.mesh import (
     is_main_process,
     replicate,
     shard_batch,
+    shard_params_fsdp,
 )
 from .ema import PowerFunctionEMA, TraditionalEMA
 from .logging import BaseLogger
@@ -76,6 +77,8 @@ class Trainer:
         early_stopping_min_delta: float = 0.0,
         progress_bar: bool = True,
         log_every_n_steps: int = 50,
+        param_sharding: str = "replicated",  # 'replicated' (DP) or 'fsdp'
+        fsdp_min_size: int = 2**14,  # shard arrays with >= this many elements
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -112,6 +115,8 @@ class Trainer:
         self.early_stopping_min_delta = early_stopping_min_delta
         self.progress_bar = progress_bar
         self.log_every_n_steps = log_every_n_steps
+        self.param_sharding = param_sharding
+        self.fsdp_min_size = fsdp_min_size
         self._epochs_without_improvement = 0
 
         self.best_val_loss = float("inf")
@@ -156,6 +161,14 @@ class Trainer:
             ema_state=ema_state,
             cur_nitem=jnp.zeros((), jnp.int32),
         )
+        return self._place_state(state)
+
+    def _place_state(self, state):
+        """Place the train state on the mesh: fully replicated (pure DP) or
+        FSDP (large arrays sharded over the data axis; XLA inserts the
+        all-gathers/reduce-scatters)."""
+        if self.param_sharding == "fsdp" and self.mesh.devices.size > 1:
+            return shard_params_fsdp(self.mesh, state, min_size=self.fsdp_min_size)
         return replicate(self.mesh, state)
 
     # -- jitted steps ---------------------------------------------------------
@@ -441,7 +454,7 @@ class Trainer:
             cur_nitem=jnp.asarray(payload["cur_nitem"]),
             epoch=jnp.asarray(payload.get("epoch", 0), jnp.int32),
         )
-        return replicate(self.mesh, state)
+        return self._place_state(state)
 
     def save_ema_snapshots(self, state: TrainState, step: int):
         """Orbax EMA snapshots (replaces fp16 pickles, reference :156-167)."""

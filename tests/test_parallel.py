@@ -107,6 +107,42 @@ def test_sharded_generation_harness(tmp_path):
     assert len(wavs) == 8
 
 
+def test_fsdp_sharding_matches_replicated():
+    """FSDP-sharded training step == replicated step (same loss), with large
+    params actually partitioned across devices."""
+    task = _tiny_task()
+    mesh = create_mesh()
+    batch = _batch(8)
+    key = jax.random.key(1)
+
+    results = {}
+    for mode in ("replicated", "fsdp"):
+        trainer = Trainer(
+            task=task,
+            optimizer=optax.adamw(1e-3),
+            mesh=mesh,
+            output_dir=f"/tmp/fsdp_test_{mode}",
+            param_sharding=mode,
+            fsdp_min_size=256,
+        )
+        state = trainer.init_state(batch)
+        trainer._compile()
+        _, metrics = trainer._compiled_train_step(
+            state, shard_batch(mesh, batch), key
+        )
+        results[mode] = float(jax.device_get(metrics["train/loss"]))
+        if mode == "fsdp":
+            shardings = [
+                leaf.sharding for leaf in jax.tree.leaves(state.params)
+                if leaf.size >= 256
+            ]
+            assert shardings, "no large params found"
+            assert any(not s.is_fully_replicated for s in shardings), (
+                "fsdp mode left every large param replicated"
+            )
+    np.testing.assert_allclose(results["fsdp"], results["replicated"], rtol=1e-5)
+
+
 def test_trainer_step_on_mesh_updates_params():
     task = _tiny_task()
     mesh = create_mesh()

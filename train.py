@@ -96,6 +96,7 @@ def build_trainer_and_task(cfg, output_dir):
             "early_stopping_patience",
             "early_stopping_min_delta",
             "progress_bar",
+            "param_sharding",
         )
     }
     logger = build_logger(cfg, output_dir)
