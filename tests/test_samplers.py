@@ -326,3 +326,13 @@ def test_samplers_jit_compatible():
     f = jax.jit(lambda n: s(n, edm_oracle, sig))
     out = np.asarray(f(NOISE))
     assert np.isfinite(out).all()
+
+
+def test_lms_sampler_under_jit_with_closed_over_sigmas():
+    """LMS precomputes host-side coefficients; it must trace cleanly when the
+    sigma grid is a concrete closure constant (how the task layer jits it)."""
+    s = edm_s.LMSSampler(num_steps=16, order=4)
+    sig = KarrasSchedule(sigma_min=0.01, sigma_max=10.0, num_steps=16)()
+    f = jax.jit(lambda n: s(n, edm_oracle, sig))
+    out = np.asarray(f(NOISE))
+    assert np.isfinite(out).all()
