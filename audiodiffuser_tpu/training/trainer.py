@@ -79,6 +79,7 @@ class Trainer:
         log_every_n_steps: int = 50,
         param_sharding: str = "replicated",  # 'replicated' (DP) or 'fsdp'
         fsdp_min_size: int = 2**14,  # shard arrays with >= this many elements
+        ckpt_keep_last: Optional[int] = None,  # prune old epoch_* checkpoints
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -117,6 +118,7 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.param_sharding = param_sharding
         self.fsdp_min_size = fsdp_min_size
+        self.ckpt_keep_last = ckpt_keep_last
         self._epochs_without_improvement = 0
 
         self.best_val_loss = float("inf")
@@ -324,6 +326,7 @@ class Trainer:
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             if epoch % self.ckpt_every_n_epochs == 0 or epoch == self.max_epochs:
                 self.save_checkpoint(state, name=f"epoch_{epoch - 1:03d}")
+                self._prune_checkpoints()
             self.save_checkpoint(state, name="last")
 
         # always leave a resumable 'last' even if no epoch ran
@@ -429,6 +432,17 @@ class Trainer:
             }
         )
         self._ckpt.save(path, payload, force=True)
+
+    def _prune_checkpoints(self):
+        """Keep only the newest ``ckpt_keep_last`` epoch_* checkpoints
+        (Lightning ModelCheckpoint save_top_k parity; 'last' is never pruned)."""
+        if not self.ckpt_keep_last or not is_main_process():
+            return
+        import shutil
+
+        epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+        for old in epochs[: -self.ckpt_keep_last]:
+            shutil.rmtree(old, ignore_errors=True)
 
     def restore_checkpoint(self, path, state: TrainState) -> TrainState:
         target = jax.device_get(

@@ -108,3 +108,21 @@ def test_non_memory_efficient_and_text():
     variables = net.init(jax.random.key(4), X, TIME, text_embeds=text, text_mask=tmask)
     out = net.apply(variables, X, TIME, text_embeds=text, text_mask=tmask)
     assert out.shape == X.shape
+
+
+def test_imagen_layernorm_matches_torch_semantics():
+    """g-only LayerNorm with biased variance (reference layer_utils.py:14-32)."""
+    import torch
+
+    from audiodiffuser_tpu.models.layers import ImagenLayerNorm
+
+    x = np.random.default_rng(0).standard_normal((2, 5, 8)).astype(np.float32)
+    ln = ImagenLayerNorm()
+    variables = ln.init(jax.random.key(0), jnp.asarray(x))
+    got = np.asarray(ln.apply(variables, jnp.asarray(x)))
+
+    tx = torch.from_numpy(x)
+    var = torch.var(tx, dim=-1, unbiased=False, keepdim=True)
+    mean = torch.mean(tx, dim=-1, keepdim=True)
+    expect = ((tx - mean) * (var + 1e-5).rsqrt()).numpy()  # g == 1 at init
+    np.testing.assert_allclose(got, expect, atol=1e-5)

@@ -97,6 +97,8 @@ def build_trainer_and_task(cfg, output_dir):
             "early_stopping_min_delta",
             "progress_bar",
             "param_sharding",
+            "fsdp_min_size",
+            "ckpt_keep_last",
         )
     }
     logger = build_logger(cfg, output_dir)
