@@ -33,8 +33,18 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    """One (batch*head, q-block) program: online softmax over K blocks."""
+def _flash_kernel(
+    q_ref, k_ref, v_ref, *rest, scale: float, block_k: int, masked: bool
+):
+    """One (batch*head, q-block) program: online softmax over K blocks.
+
+    With ``masked``, an extra [1, n_k] additive-bias row (0 for valid keys,
+    -inf for masked ones) precedes the output ref.
+    """
+    if masked:
+        bias_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     q = q_ref[0].astype(jnp.float32) * scale  # [blk_q, d]
     n_k = k_ref.shape[1]
     num_kb = n_k // block_k
@@ -52,6 +62,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [blk_q, blk_k]
+        if masked:
+            s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -73,46 +85,72 @@ def _flash_forward(
     scale: float,
     block_q: int,
     block_k: int,
+    bias: Optional[jnp.ndarray] = None,  # [B, n_k] additive key bias
+    heads: int = 1,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q,k,v: [BH, N, D] (q may have different N than k/v)."""
     bh, n_q, d = q.shape
     n_k = k.shape[1]
 
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k)
+    masked = bias is not None
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_k=block_k, masked=masked
+    )
     grid = (bh, n_q // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if masked:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, n_k), lambda b, i: (b // heads, 0), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(bias)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-    )(q, k, v)
+        interpret=interpret,
+    )(*args)
 
 
-def _sdpa_reference(q, k, v, scale):
+def _sdpa_reference(q, k, v, bias, scale, heads):
     s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    if bias is not None:
+        s = s + jnp.repeat(bias, heads, axis=0)[:, None, :]
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(s.dtype)
     return jnp.einsum("bnm,bmd->bnd", p, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, bias, scale, block_q, block_k, heads):
+    return _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    return _flash_forward(q, k, v, scale, block_q, block_k), (q, k, v)
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k, heads):
+    out = _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
+    return out, (q, k, v, bias)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _sdpa_reference(q, k, v, scale), q, k, v)
+def _flash_bwd(scale, block_q, block_k, heads, res, g):
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _sdpa_reference(q, k, v, None, scale, heads), q, k, v
+        )
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda q, k, v, b: _sdpa_reference(q, k, v, b, scale, heads), q, k, v, bias
+    )
     return vjp(g)
 
 
@@ -123,17 +161,23 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
     scale: float = 1.0,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale) v for [B, H, N, D] inputs (unmasked)."""
+    """softmax(q k^T * scale + mask_bias) v for [B, H, N, D] inputs.
+
+    ``mask``: optional [B, n_k] bool (True = attend)."""
     b, h, n_q, d = q.shape
     n_k = k.shape[2]
     qf = q.reshape(b * h, n_q, d)
     kf = k.reshape(b * h, n_k, d)
     vf = v.reshape(b * h, n_k, d)
-    out = _flash_attention(qf, kf, vf, float(scale), block_q, block_k)
+    bias = None
+    if mask is not None:
+        bias = jnp.where(mask.astype(bool), 0.0, -1e30).astype(jnp.float32)
+    out = _flash_attention(qf, kf, vf, bias, float(scale), block_q, block_k, h)
     return out.reshape(b, h, n_q, d)
 
 
@@ -151,8 +195,6 @@ def _flash_compatible(q, k, mask) -> bool:
         return False
     min_seq = int(os.environ.get("ADT_FLASH_MIN_SEQ", 4096))
     if force != "1" and q.shape[-2] < min_seq:
-        return False
-    if mask is not None:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False
@@ -174,5 +216,5 @@ def attention_core_auto(q, k, v, mask=None, scale=1.0):
     from ..models.attention import sdpa_xla
 
     if _flash_compatible(q, k, mask):
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, mask=mask, scale=scale)
     return sdpa_xla(q, k, v, mask=mask, scale=scale)

@@ -13,23 +13,14 @@ from audiodiffuser_tpu.models.attention import sdpa_xla
 from audiodiffuser_tpu.ops import flash_attention as fa
 
 
-def _flash_interpret(q, k, v, scale):
+def _flash_interpret(q, k, v, scale, mask=None):
     """Run the kernel in interpreter mode (no TPU needed)."""
     b, h, n, d = q.shape
     qf, kf, vf = (t.reshape(b * h, -1, d) for t in (q, k, v))
-    kernel = functools.partial(fa._flash_kernel, scale=scale, block_k=128)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * h, qf.shape[1] // 128),
-        in_specs=[
-            pl.BlockSpec((1, 128, d), lambda bb, i: (bb, i, 0)),
-            pl.BlockSpec((1, kf.shape[1], d), lambda bb, i: (bb, 0, 0)),
-            pl.BlockSpec((1, kf.shape[1], d), lambda bb, i: (bb, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 128, d), lambda bb, i: (bb, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, qf.dtype),
-        interpret=True,
-    )(qf, kf, vf)
+    bias = None
+    if mask is not None:
+        bias = jnp.where(mask.astype(bool), 0.0, -1e30).astype(jnp.float32)
+    out = fa._flash_forward(qf, kf, vf, scale, 128, 128, bias, h, interpret=True)
     return out.reshape(b, h, n, d)
 
 
@@ -68,6 +59,17 @@ def test_auto_core_falls_back_on_cpu_and_masks():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
 
 
+def test_flash_masked_matches_xla():
+    key = jax.random.key(8)
+    q = jax.random.normal(key, (2, 2, 128, 32))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 2, 256, 32))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 2, 256, 32))
+    mask = jnp.arange(256)[None, :] < jnp.asarray([[200], [131]])
+    expect = np.asarray(sdpa_xla(q, k, v, mask=mask, scale=0.2))
+    got = np.asarray(_flash_interpret(q, k, v, 0.2, mask=mask))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
 def test_flash_custom_vjp_grads():
     """Backward (XLA recompute) must match autodiff through the reference."""
     q = jax.random.normal(jax.random.key(5), (4, 64, 32))
@@ -75,17 +77,15 @@ def test_flash_custom_vjp_grads():
     v = jax.random.normal(jax.random.key(7), (4, 64, 32))
 
     def loss_ref(q, k, v):
-        return jnp.sum(fa._sdpa_reference(q, k, v, 0.25) ** 2)
+        return jnp.sum(fa._sdpa_reference(q, k, v, None, 0.25, 1) ** 2)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
 
     # custom_vjp backward path, with the fwd swapped for interpret-mode
-    def loss_flash(q, k, v):
-        out, vjp = jax.vjp(lambda a, b, c: fa._sdpa_reference(a, b, c, 0.25), q, k, v)
-        return jnp.sum(out**2)
+
 
     # the _flash_bwd function itself:
-    grads = fa._flash_bwd(0.25, 128, 128, (q, k, v),
-                          2 * fa._sdpa_reference(q, k, v, 0.25))
-    for a, b in zip(grads, g_ref):
+    grads = fa._flash_bwd(0.25, 128, 128, 1, (q, k, v, None),
+                          2 * fa._sdpa_reference(q, k, v, None, 0.25, 1))
+    for a, b in zip(grads[:3], g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
