@@ -336,3 +336,19 @@ def test_lms_sampler_under_jit_with_closed_over_sigmas():
     f = jax.jit(lambda n: s(n, edm_oracle, sig))
     out = np.asarray(f(NOISE))
     assert np.isfinite(out).all()
+
+
+def test_brownian_bridge_correlation_structure():
+    """BrownianBridgeNoise.pair: unit marginals and cov(n1, n2) =
+    sqrt(|t1-t0| / |t2-t0|) (the torchsde-tree correlation it replaces)."""
+    from audiodiffuser_tpu.samplers.base import BrownianBridgeNoise
+
+    n = 200_000
+    bridge = BrownianBridgeNoise(jax.random.key(0), (n,))
+    t0, t1, t2 = 1.0, 0.7, 0.2  # decreasing sigma interval with midpoint t1
+    n1, n2 = bridge.pair(3, t0, t1, t2)
+    n1, n2 = np.asarray(n1), np.asarray(n2)
+    assert abs(n1.std() - 1) < 0.01 and abs(n2.std() - 1) < 0.01
+    expect_corr = np.sqrt(abs(t1 - t0) / abs(t2 - t0))
+    got_corr = np.corrcoef(n1, n2)[0, 1]
+    assert abs(got_corr - expect_corr) < 0.02
