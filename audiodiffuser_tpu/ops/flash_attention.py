@@ -212,8 +212,23 @@ def _flash_compatible(q, k, mask) -> bool:
 
 def attention_core_auto(q, k, v, mask=None, scale=1.0):
     """Drop-in ``attention_core`` for models.attention.Attention: Pallas
-    flash kernel when profitable/compatible, fp32-softmax XLA einsum else."""
+    flash kernel when profitable/compatible, fp32-softmax XLA einsum else.
+
+    Masked inputs whose key length is off-tile (e.g. self+text KV concat) are
+    zero-padded to the key block size with masked-out keys — numerically a
+    no-op, but it keeps long-sequence text conditioning on the flash path."""
     from ..models.attention import sdpa_xla
+
+    n_k = k.shape[-2]
+    if (
+        mask is not None
+        and n_k % DEFAULT_BLOCK_K != 0
+        and q.shape[-2] >= int(__import__("os").environ.get("ADT_FLASH_MIN_SEQ", 4096))
+    ):
+        pad = DEFAULT_BLOCK_K - n_k % DEFAULT_BLOCK_K
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask.astype(bool), ((0, 0), (0, pad)), constant_values=False)
 
     if _flash_compatible(q, k, mask):
         return flash_attention(q, k, v, mask=mask, scale=scale)
