@@ -456,7 +456,18 @@ class Trainer:
                 "best_val_loss": np.asarray(1e30),
             }
         )
-        payload = self._ckpt.restore(str(Path(path).absolute()), item=target)
+        try:
+            payload = self._ckpt.restore(str(Path(path).absolute()), item=target)
+        except Exception:
+            # older checkpoints lack epoch/best_val_loss — restore without them
+            legacy = {
+                k: v
+                for k, v in target.items()
+                if k not in ("epoch", "best_val_loss")
+            }
+            payload = dict(
+                self._ckpt.restore(str(Path(path).absolute()), item=legacy)
+            )
         best = float(payload.get("best_val_loss", 1e30))
         if best < 1e29:
             self.best_val_loss = min(self.best_val_loss, best)
