@@ -103,3 +103,24 @@ def test_multirun_sweep(sc09_dir, tmp_path):
         + ["model.optimizer.learning_rate=1e-4,1e-3", "--multirun"]
     )
     assert isinstance(results, list) and len(results) == 2
+
+
+def test_generate_standalone(sc09_dir, tmp_path):
+    """generate.py samples from a checkpoint without touching the dataset."""
+    from train import main as train_main
+    from generate import main as gen_main
+
+    train_main(_overrides(sc09_dir, tmp_path))
+    ckpt = tmp_path / "out" / "checkpoints" / "last"
+    metrics = gen_main(
+        [
+            "experiment=example",
+            f"ckpt_path={ckpt}",
+            f"paths.output_dir={tmp_path}/gen",
+            "num_samples=3",
+            "batch_size=2",
+        ]
+    )
+    wavs = list((tmp_path / "gen" / "samples").glob("*.wav"))
+    assert len(wavs) == 3
+    assert metrics["samples_per_sec"] > 0
