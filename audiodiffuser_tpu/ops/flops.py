@@ -9,12 +9,7 @@ device's own ``cost_analysis`` is unreliable on experimental backends.
 
 from __future__ import annotations
 
-import math
-from typing import Any
-
 import jax
-import numpy as np
-from jax import core
 
 
 def _prod(xs):
