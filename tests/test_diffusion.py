@@ -175,3 +175,20 @@ def test_reflow_loss_and_edm_wrapper():
     x_edm = zt / (1 - tt.reshape(-1, 1, 1))
     got = d2.denoise_fn(x_edm, oracle, sigmas=sigma, inference=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-5)
+
+
+def test_loss_mask_weighting():
+    """x_mask weights masked-out regions at 0.01 (EDM) in the loss
+    (reference diffusion.py:80-83)."""
+    d = EluDiffusion(sigma_data=0.5)
+    x = jnp.ones((1, 1, 2, 2)) * 0.3
+    sig = jnp.asarray([1.0])
+    noise = jnp.ones_like(x)
+
+    def bad_net(xin, c_noise, **kw):
+        return jnp.zeros_like(xin)  # constant-wrong prediction
+
+    full = d.loss(x, bad_net, sig, noise=noise)
+    mask = jnp.zeros_like(x, dtype=bool)  # everything masked out
+    masked = d.loss(x, bad_net, sig, noise=noise, x_mask=mask)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(full) * 0.01, rtol=1e-5)
