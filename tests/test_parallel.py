@@ -162,3 +162,33 @@ def test_trainer_step_on_mesh_updates_params():
     # params stay replicated (same value on every device)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_2d_mesh_weight_sharded_tp_loss_parity():
+    """2D (data x model) mesh: batch sharded over 'data', large params
+    sharded over 'model' (GSPMD partitions the matmuls/convs and inserts the
+    collectives). Loss must match the single-device value."""
+    from audiodiffuser_tpu.parallel.mesh import shard_params_fsdp
+
+    task = _tiny_task()
+    batch = _batch(8)
+    key = jax.random.key(9)
+    x = task.audio_to_spec(jnp.asarray(batch["audio"][:1]))
+    params = task.net.init(jax.random.key(0), x, jnp.zeros((1,)))["params"]
+    loss_ref, _ = jax.jit(task.loss_fn)(params, jax.tree.map(jnp.asarray, batch), key)
+
+    mesh2d = create_mesh({"data": 4, "model": 2})
+    params_tp = shard_params_fsdp(mesh2d, params, axis="model", min_size=256)
+    sharded = shard_batch(mesh2d, batch, axis="data")
+    loss_tp, _ = jax.jit(task.loss_fn)(params_tp, sharded, key)
+
+    np.testing.assert_allclose(
+        float(jax.device_get(loss_tp)), float(jax.device_get(loss_ref)), rtol=1e-5
+    )
+    # some large param is actually split over the model axis
+    shardings = [
+        leaf.sharding
+        for leaf in jax.tree.leaves(params_tp)
+        if leaf.size >= 256
+    ]
+    assert any(not s.is_fully_replicated for s in shardings)
