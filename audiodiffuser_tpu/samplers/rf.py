@@ -14,7 +14,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .base import DenoiseFn
 from .dpm_core import dpm_multistep, dpm_singlestep, rf_space, singlestep_orders, unipc
 
 

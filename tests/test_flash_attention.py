@@ -1,14 +1,9 @@
 """Flash-attention kernel parity tests (interpret mode on CPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
 from audiodiffuser_tpu.models.attention import sdpa_xla
 from audiodiffuser_tpu.ops import flash_attention as fa
 
