@@ -124,3 +124,44 @@ def test_generate_standalone(sc09_dir, tmp_path):
     wavs = list((tmp_path / "gen" / "samples").glob("*.wav"))
     assert len(wavs) == 3
     assert metrics["samples_per_sec"] > 0
+
+
+def test_ema_snapshots_written_and_consumed(sc09_dir, tmp_path):
+    """Power-function EMA snapshots are written during training and an
+    ema_ckpt_path generates from the EMA weights (reference :156-167,
+    :239-242)."""
+    from train import main as train_main
+    from eval import main as eval_main
+
+    train_main(
+        _overrides(
+            sc09_dir,
+            tmp_path,
+            [
+                "model.use_ema=True",
+                "model.use_phema=True",
+                "model.num_ema_snapshot_item=4",  # snapshot every 4 items
+            ],
+        )
+    )
+    out = tmp_path / "out"
+    snaps = sorted((out / "ema_snapshots").glob("ema_prof-*"))
+    assert snaps, "no EMA snapshots written"
+    # both stds present
+    assert any("-0.050_" in s.name for s in snaps)
+    assert any("-0.100_" in s.name for s in snaps)
+
+    eval_main(
+        [
+            "experiment=example",
+            f"data.data_dir={sc09_dir}",
+            f"paths.output_dir={tmp_path}/ema_eval",
+            f"ckpt_path={out}/checkpoints/last",
+            f"model.ema_ckpt_path={snaps[0]}",
+            "model.total_test_samples=2",
+            "model.use_ema=True",
+            "model.use_phema=True",
+        ]
+    )
+    wavs = list((tmp_path / "ema_eval" / "test_samples").glob("*.wav"))
+    assert len(wavs) == 2
