@@ -82,3 +82,24 @@ def test_optimizer_instantiates():
     cfg = compose(CONFIG_DIR, "train", [])
     opt = instantiate(cfg.model.optimizer)
     assert isinstance(opt, optax.GradientTransformation)
+
+
+def test_lr_scheduler_config_builds():
+    """model.scheduler as an optax schedule replaces the scalar LR."""
+    import optax
+
+    from train import build_trainer_and_task
+
+    cfg = compose(
+        CONFIG_DIR,
+        "train",
+        [
+            "experiment=example",
+            "+model.scheduler._target_=optax.cosine_decay_schedule",
+            "+model.scheduler.init_value=1e-4",
+            "+model.scheduler.decay_steps=1000",
+            "paths.output_dir=/tmp/sched_cfg_test",
+        ],
+    )
+    trainer, task, logger = build_trainer_and_task(cfg, "/tmp/sched_cfg_test")
+    assert isinstance(trainer.optimizer, optax.GradientTransformation)
