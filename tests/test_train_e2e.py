@@ -165,3 +165,46 @@ def test_ema_snapshots_written_and_consumed(sc09_dir, tmp_path):
     )
     wavs = list((tmp_path / "ema_eval" / "test_samples").glob("*.wav"))
     assert len(wavs) == 2
+
+
+def test_full_phema_lifecycle(sc09_dir, tmp_path):
+    """train (phema snapshots) -> reconstruct_phema CLI -> generate from the
+    reconstructed EMA weights: the complete post-hoc EMA workflow."""
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from train import main as train_main
+    from generate import main as gen_main
+    from reconstruct_phema import main as recon_main
+
+    train_main(
+        _overrides(
+            sc09_dir,
+            tmp_path,
+            [
+                "model.use_ema=True",
+                "model.use_phema=True",
+                "model.num_ema_snapshot_item=4",
+            ],
+        )
+    )
+    out = tmp_path / "out"
+    snaps = out / "ema_snapshots"
+    assert list(snaps.glob("ema_prof-*"))
+
+    recon_main(["--indir", str(snaps), "--outstd", "0.150"])
+    recon = sorted(snaps.glob("recon_phema-0.150_*"))
+    assert recon, "reconstruction output missing"
+
+    gen_main(
+        [
+            "experiment=example",
+            f"ckpt_path={out}/checkpoints/last",
+            f"model.ema_ckpt_path={recon[0]}",
+            f"paths.output_dir={tmp_path}/phema_gen",
+            "num_samples=2",
+            "batch_size=2",
+            "model.use_ema=True",
+            "model.use_phema=True",
+        ]
+    )
+    wavs = list((tmp_path / "phema_gen" / "samples").glob("*.wav"))
+    assert len(wavs) == 2
