@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .attention import Attention
+from .attention import Attention, sdpa_auto
 from .conditioner import LabelEmbedder, TextEmbedder, TimestepEmbedder
 
 Dtype = Any
@@ -82,6 +82,9 @@ class DiTBlock(nn.Module):
     use_qk_l2norm: bool = False
     use_rope: bool = True
     dtype: Dtype = jnp.float32
+    # pluggable token-mixing core; swap in a context-parallel ring core
+    # (ops.context_parallel.make_ring_attention_core) for sharded sequences
+    attention_core: Any = staticmethod(sdpa_auto)
 
     @nn.compact
     def __call__(self, x, c, context=None, context_mask=None):
@@ -106,6 +109,7 @@ class DiTBlock(nn.Module):
             use_qk_l2norm=self.use_qk_l2norm,
             use_rope=self.use_rope,
             dtype=self.dtype,
+            attention_core=self.attention_core,
             name="attn",
         )(modulate(norm1, shift_msa, scale_msa), context, context_mask)
         x = x + gate_msa[:, None, :] * attn_out
@@ -140,6 +144,7 @@ class DiT(nn.Module):
     use_self_text_cond: bool = True
     use_qk_l2norm: bool = False
     dtype: Dtype = jnp.float32
+    attention_core: Any = staticmethod(sdpa_auto)
 
     @nn.compact
     def __call__(
@@ -214,6 +219,7 @@ class DiT(nn.Module):
                 use_self_text_cond=self.use_self_text_cond,
                 use_qk_l2norm=self.use_qk_l2norm,
                 dtype=self.dtype,
+                attention_core=self.attention_core,
                 name=f"block_{i}",
             )(x, cvec, context, text_mask)
 

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from audiodiffuser_tpu.models.attention import sdpa_xla
 from audiodiffuser_tpu.ops.ring_attention import ring_attention
