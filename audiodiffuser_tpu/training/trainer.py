@@ -146,14 +146,18 @@ class Trainer:
     # -- state ---------------------------------------------------------------
     def init_state(self, example_batch) -> TrainState:
         key = jax.random.key(self.seed)
-        spec = self.task.audio_to_spec(jnp.asarray(example_batch["audio"][:1]))
-        time0 = jnp.zeros((1,))
-        params = self.task.net.init(
-            {"params": key, "cond": key},
-            spec,
-            time0,
-            classes=jnp.asarray(example_batch["label"][:1]),
-        )["params"]
+        if hasattr(self.task, "init_params"):
+            # non-diffusion nets (e.g. CodecTask's DAC) own their init signature
+            params = self.task.init_params(key, example_batch)
+        else:
+            spec = self.task.audio_to_spec(jnp.asarray(example_batch["audio"][:1]))
+            time0 = jnp.zeros((1,))
+            params = self.task.net.init(
+                {"params": key, "cond": key},
+                spec,
+                time0,
+                classes=jnp.asarray(example_batch["label"][:1]),
+            )["params"]
         opt_state = self.optimizer.init(params)
         ema_state = self.ema.init(params) if self.ema else None
         state = TrainState(
