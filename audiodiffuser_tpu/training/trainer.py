@@ -77,8 +77,9 @@ class Trainer:
         early_stopping_min_delta: float = 0.0,
         progress_bar: bool = True,
         log_every_n_steps: int = 50,
-        param_sharding: str = "replicated",  # 'replicated' (DP) or 'fsdp'
+        param_sharding: str = "replicated",  # 'replicated' (DP), 'fsdp' or 'tp'
         fsdp_min_size: int = 2**14,  # shard arrays with >= this many elements
+        tp_axis_size: int = 2,  # 'tp': size of the model axis (dp x model mesh)
         ckpt_keep_last: Optional[int] = None,  # prune old epoch_* checkpoints
     ):
         self.task = task
@@ -118,7 +119,21 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.param_sharding = param_sharding
         self.fsdp_min_size = fsdp_min_size
+        self.tp_axis_size = tp_axis_size
         self.ckpt_keep_last = ckpt_keep_last
+        if param_sharding == "tp" and "model" not in self.mesh.shape:
+            n = self.mesh.devices.size
+            if n % tp_axis_size == 0 and n > 1:
+                self.mesh = create_mesh(
+                    {"data": n // tp_axis_size, "model": tp_axis_size},
+                    devices=list(self.mesh.devices.flat),
+                )
+            else:
+                print(
+                    f"[trainer] {n} device(s) not divisible by tp_axis_size="
+                    f"{tp_axis_size}; falling back to replicated params"
+                )
+                self.param_sharding = "replicated"
         self._epochs_without_improvement = 0
 
         self.best_val_loss = float("inf")
@@ -170,11 +185,20 @@ class Trainer:
         return self._place_state(state)
 
     def _place_state(self, state):
-        """Place the train state on the mesh: fully replicated (pure DP) or
-        FSDP (large arrays sharded over the data axis; XLA inserts the
-        all-gathers/reduce-scatters)."""
+        """Place the train state on the mesh: fully replicated (pure DP),
+        FSDP (large arrays sharded over the data axis), or megatron TP
+        (column/row-parallel transformer kernels over a 'model' axis); XLA
+        inserts the collectives either way."""
         if self.param_sharding == "fsdp" and self.mesh.devices.size > 1:
             return shard_params_fsdp(self.mesh, state, min_size=self.fsdp_min_size)
+        if self.param_sharding == "tp" and self.mesh.devices.size > 1:
+            from ..parallel.tensor_parallel import tp_shardings
+
+            # path-suffix rules also catch the params-shaped optimizer/EMA
+            # subtrees (mu/nu mirror the param names), keeping them aligned
+            return jax.tree.map(
+                jax.device_put, state, tp_shardings(self.mesh, state)
+            )
         return replicate(self.mesh, state)
 
     # -- jitted steps ---------------------------------------------------------

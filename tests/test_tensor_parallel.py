@@ -72,6 +72,86 @@ def test_tp_forward_and_grad_match_replicated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_trainer_tp_mode_matches_replicated():
+    """trainer.param_sharding=tp: same losses as the replicated trainer on a
+    DiT spec task (optimizer/EMA subtrees follow the kernel shardings)."""
+    import optax
+
+    from audiodiffuser_tpu.diffusion import EluDiffusion
+    from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
+    from audiodiffuser_tpu.ops.schedules import KarrasSchedule
+    from audiodiffuser_tpu.samplers.edm import EDMSampler
+    from audiodiffuser_tpu.tasks.diffusion_task import DiffusionSpecTask
+    from audiodiffuser_tpu.parallel.mesh import shard_batch
+
+    def make_task():
+        return DiffusionSpecTask(
+            net=DiT(
+                input_size=[32, 16],
+                patch_size=[2, 2],
+                in_channels=2,
+                hidden_size=32,
+                depth=2,
+                num_heads=2,
+                cond_drop_prob=0.0,
+                num_classes=4,
+                label_cond=True,
+            ),
+            diffusion=EluDiffusion(sigma_data=0.2),
+            sampler=EDMSampler(s_churn=0.0, num_steps=3, use_heun=False),
+            noise_scheduler=KarrasSchedule(0.01, 10.0, num_steps=3),
+            noise_distribution=LogNormalDistribution(-1.2, 1.2),
+            n_fft=62,
+            hop_length=16,
+            generated_frame_length=16,
+            generated_sample_class=4,
+            use_ema=True,
+            use_phema=False,
+        )
+
+    from audiodiffuser_tpu.training.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio": rng.standard_normal((8, 240)).astype(np.float32) * 0.2,
+        "label": (np.arange(8) % 4).astype(np.int32),
+    }
+
+    losses = {}
+    for mode in ("replicated", "tp"):
+        trainer = Trainer(
+            task=make_task(),
+            optimizer=optax.adamw(1e-3),
+            output_dir=f"/tmp/tp_mode_{mode}",
+            param_sharding=mode,
+            tp_axis_size=2,
+        )
+        if mode == "tp":
+            assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+        state = trainer.init_state(batch)
+        if mode == "tp":
+            spec = state.params["block_0"]["attn"]["to_q"]["kernel"].sharding.spec
+            assert spec == P(None, "model")
+            # optimizer state followed the kernel sharding
+            assert any(
+                getattr(x, "sharding", None) is not None
+                and x.sharding.spec == P(None, "model")
+                for x in jax.tree.leaves(state.opt_state)
+                if hasattr(x, "shape") and x.ndim == 2
+            )
+        trainer._compile()
+        key = jax.random.key(7)
+        ls = []
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            state, m = trainer._compiled_train_step(
+                state, shard_batch(trainer.mesh, batch), sub
+            )
+            ls.append(float(jax.device_get(m["train/loss"])))
+        losses[mode] = ls
+    np.testing.assert_allclose(losses["tp"], losses["replicated"], rtol=1e-4)
+
+
 def test_tp_indivisible_dim_stays_replicated(capsys):
     mesh = create_mesh({"model": 8})
     params = {"attn": {"to_q": {"kernel": jnp.zeros((12, 12))}}}  # 12 % 8 != 0

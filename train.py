@@ -98,6 +98,7 @@ def build_trainer_and_task(cfg, output_dir):
             "progress_bar",
             "param_sharding",
             "fsdp_min_size",
+            "tp_axis_size",
             "ckpt_keep_last",
         )
     }
