@@ -168,19 +168,26 @@ class DataLoader:
         rng = np.random.default_rng(self.seed + self.epoch)
 
         def producer():
-            n = len(idx)
-            end = n - (n % self.batch_size) if self.drop_last else n
-            for start in range(0, end, self.batch_size):
-                chunk = idx[start : start + self.batch_size]
-                if use_native:
-                    try:
-                        q.put(self._native_batch(chunk, rng))
-                        continue
-                    except IOError:
-                        pass  # odd file -> python fallback below
-                records = [self.dataset[int(i)] for i in chunk]
-                q.put(self.collator(records))
-            q.put(sentinel)
+            # any exception is enqueued and re-raised in the consumer —
+            # otherwise a corrupt wav would kill this thread silently and the
+            # consumer would block on q.get() forever
+            try:
+                n = len(idx)
+                end = n - (n % self.batch_size) if self.drop_last else n
+                for start in range(0, end, self.batch_size):
+                    chunk = idx[start : start + self.batch_size]
+                    if use_native:
+                        try:
+                            q.put(self._native_batch(chunk, rng))
+                            continue
+                        except IOError:
+                            pass  # odd file -> python fallback below
+                    records = [self.dataset[int(i)] for i in chunk]
+                    q.put(self.collator(records))
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -188,6 +195,8 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

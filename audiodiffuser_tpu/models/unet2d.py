@@ -521,6 +521,12 @@ class UNet2dBase(nn.Module):
         cond_drop_mask=None,
         inj_channels=None,
     ):
+        if self.use_condition_block and self.channel_infuse_mode not in ("conv", "add"):
+            raise ValueError(
+                "use_condition_block=True requires channel_infuse_mode='conv' or "
+                "'add'; with the default None the condition-encoder branch is "
+                "computed and then silently discarded by every DownBlock."
+            )
         cond_drop_prob = (
             self.cond_drop_prob if cond_drop_prob is None else cond_drop_prob
         )

@@ -60,8 +60,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: PyTree, axis: str = "data") -> PyTree:
-    """Device-put a host batch with the leading dim sharded over ``axis``."""
+    """Place a host batch with the leading dim sharded over ``axis``.
+
+    Single-process: a plain ``device_put`` with a ``NamedSharding``.
+    Multi-process: the batch arrays are *process-local* shards (each host
+    loads its own file shard — see ``SC09DataLoader(num_shards=...)``), so a
+    global array is assembled with ``jax.make_array_from_process_local_data``;
+    ``device_put`` over non-addressable devices would raise. Shapes returned
+    are **global** in both cases.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

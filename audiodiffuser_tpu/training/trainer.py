@@ -143,20 +143,30 @@ class Trainer:
         self._ckpt = ocp.PyTreeCheckpointer()
 
     def _fit_mesh_to_batch(self, batch_size: int):
-        """Shrink the data axis to a divisor of the batch size if needed."""
-        n = self.mesh.devices.size
-        if batch_size % n == 0:
+        """Shrink the data axis to a divisor of the batch size if needed.
+
+        Under ``param_sharding='tp'`` only the data axis shrinks — the model
+        axis must survive or ``tp_shardings(self.mesh)`` would KeyError on
+        ``mesh.shape['model']``.
+        """
+        model = self.mesh.shape.get("model", 1) if "model" in self.mesh.shape else 1
+        data = self.mesh.devices.size // model
+        if batch_size % data == 0:
             return
         use = 1
-        for d in range(min(batch_size, n), 0, -1):
+        for d in range(min(batch_size, data), 0, -1):
             if batch_size % d == 0:
                 use = d
                 break
         print(
-            f"[trainer] batch size {batch_size} not divisible by {n} devices; "
-            f"using a {use}-device data mesh"
+            f"[trainer] batch size {batch_size} not divisible by {data} "
+            f"data-axis devices; using a {use}-device data axis"
         )
-        self.mesh = create_mesh(devices=jax.devices()[:use])
+        devices = self.mesh.devices.reshape(-1)[: use * model]
+        if model > 1:
+            self.mesh = create_mesh({"data": use, "model": model}, devices=devices)
+        else:
+            self.mesh = create_mesh(devices=devices)
 
     # -- state ---------------------------------------------------------------
     def init_state(self, example_batch) -> TrainState:
@@ -213,7 +223,9 @@ class Trainer:
         )
         params = optax.apply_updates(state.params, updates)
 
-        batch_size = batch["audio"].shape[0] * jax.process_count()
+        # batch shapes are global (shard_batch assembles a global array in the
+        # multi-process case), so the leading dim already counts every host
+        batch_size = batch["audio"].shape[0]
         cur_nitem = state.cur_nitem + batch_size
         ema_state = state.ema_state
         if self.ema is not None:
@@ -468,7 +480,15 @@ class Trainer:
             return
         import shutil
 
-        epochs = sorted(self.ckpt_dir.glob("epoch_*"))
+        # numeric sort: lexicographic would slot epoch_1000 between epoch_100
+        # and epoch_101 and prune the newest checkpoints on long runs
+        def _epoch_num(p):
+            try:
+                return int(p.name.split("_", 1)[1])
+            except (IndexError, ValueError):
+                return -1
+
+        epochs = sorted(self.ckpt_dir.glob("epoch_*"), key=_epoch_num)
         for old in epochs[: -self.ckpt_keep_last]:
             shutil.rmtree(old, ignore_errors=True)
 
