@@ -1,0 +1,424 @@
+"""Direct trajectory parity against the *actual reference implementation*.
+
+Unlike test_sampler_parity.py (independent fp64 re-derivations of the
+published algorithms), these tests run the reference PyTorch samplers from
+/root/reference on CPU with an analytic denoiser and identical injected
+noise, and assert our lax.scan samplers produce the same trajectory endpoint
+within fp32 tolerance (BASELINE.md "per-sampler-step output match").
+
+Reference call contract: ``sampler(noise, fn, net, sigmas)`` with
+``fn(x, net=net, sigma=s, inference=True, cond_scale=c)``
+(src/models/components/sampler_edm.py:371-397). Ours drops the ``net``
+argument (bound by the task layer) but is otherwise identical.
+
+Deliberate deviations from reference internals are quantified in PARITY.md
+and excluded here (see test markers): the reference's DPM *singlestep*
+non-log path mixes sigma- and lambda-space when forming intermediate points
+(sampler_edm.py:584-586), and the rf singlestep intermediate-point math has
+the analogous issue.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audiodiffuser_tpu.ops import KarrasSchedule
+from audiodiffuser_tpu.samplers import edm as edm_s
+from audiodiffuser_tpu.samplers import rf as rf_s
+from audiodiffuser_tpu.samplers import stochastic as st_s
+from audiodiffuser_tpu.samplers import vobj as vobj_s
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+from helpers.ref_oracle import load_reference
+
+ref = load_reference()
+
+# 4-D (B, C, H, W): the reference UniPC einsum 'k,bkchw->bchw' requires it
+SHAPE = (2, 2, 6, 4)
+MU, S = 0.25, 0.4
+
+
+# --- analytic denoisers (identical math, torch and jax) ---------------------
+
+
+def torch_edm_fn(x, net=None, sigma=None, inference=True, cond_scale=1.0, **kw):
+    sigma = torch.as_tensor(sigma, dtype=x.dtype)
+    return (sigma**2 * MU + S**2 * x) / (S**2 + sigma**2)
+
+
+def jax_edm_fn(x, sigma=None, cond_scale=1.0):
+    sig = jnp.asarray(sigma)
+    sig = sig.reshape((-1,) + (1,) * (x.ndim - 1)) if sig.ndim > 0 else sig
+    return (sig**2 * MU + S**2 * x) / (S**2 + sig**2)
+
+
+def torch_v_fn(x, net=None, sigma=None, inference=True, cond_scale=1.0, **kw):
+    lam = torch.as_tensor(sigma, dtype=x.dtype)
+    return 0.2 * x - 0.3 * torch.tanh(lam / 4.0)
+
+
+def jax_v_fn(x, sigma=None, cond_scale=1.0):
+    lam = jnp.asarray(sigma)
+    lam = lam.reshape((-1,) + (1,) * (x.ndim - 1)) if lam.ndim > 0 else lam
+    return 0.2 * x - 0.3 * jnp.tanh(lam / 4.0)
+
+
+def torch_rf_fn(x, net=None, sigma=None, inference=True, cond_scale=1.0, **kw):
+    t = torch.as_tensor(sigma, dtype=x.dtype)
+    return 0.25 * x - 0.4 * torch.sin(3.0 * t)
+
+
+def jax_rf_fn(x, sigma=None, cond_scale=1.0):
+    t = jnp.asarray(sigma)
+    t = t.reshape((-1,) + (1,) * (x.ndim - 1)) if t.ndim > 0 else t
+    return 0.25 * x - 0.4 * jnp.sin(3.0 * t)
+
+
+def karras_sigmas(num, smin=0.01, smax=10.0):
+    return KarrasSchedule(sigma_min=smin, sigma_max=smax, rho=7.0, num_steps=num)()
+
+
+def run_pair(ours, theirs, noise, sigmas, torch_fn=torch_edm_fn, jax_fn=jax_edm_fn,
+             key=None, rtol=5e-5, atol=5e-6):
+    got = np.asarray(ours(jnp.asarray(noise), jax_fn, jnp.asarray(sigmas), key=key))
+    with torch.no_grad():
+        want = theirs(
+            torch.from_numpy(np.asarray(noise)),
+            fn=torch_fn,
+            net=None,
+            sigmas=torch.from_numpy(np.asarray(sigmas)),
+        ).numpy()
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+def noise0(seed=7):
+    return np.asarray(jax.random.normal(jax.random.key(seed), SHAPE), np.float32)
+
+
+# --- sampler_edm family ------------------------------------------------------
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+@pytest.mark.parametrize("x0_pred", [True, False])
+def test_dpm_singlestep_log(order, x0_pred):
+    n = 9
+    run_pair(
+        edm_s.DPMSampler(order=order, num_steps=n, multisteps=False,
+                         x0_pred=x0_pred, log_time_spacing=True),
+        ref.sampler_edm.DPMSampler(cond_scale=1.0, order=order, num_steps=n,
+                                   multisteps=False, x0_pred=x0_pred,
+                                   log_time_spacing=True),
+        noise0(), np.asarray(karras_sigmas(n), np.float32),
+    )
+
+
+@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("log_spacing", [True, False])
+@pytest.mark.parametrize("x0_pred", [True, False])
+def test_dpm_multistep(order, log_spacing, x0_pred):
+    n = 10
+    sig = karras_sigmas(n + (0 if log_spacing else 1))
+    run_pair(
+        edm_s.DPMSampler(order=order, num_steps=n, multisteps=True,
+                         x0_pred=x0_pred, log_time_spacing=log_spacing),
+        ref.sampler_edm.DPMSampler(cond_scale=1.0, order=order, num_steps=n,
+                                   multisteps=True, x0_pred=x0_pred,
+                                   log_time_spacing=log_spacing),
+        noise0(1), np.asarray(sig, np.float32),
+    )
+
+
+@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("variant", ["bh1", "bh2"])
+def test_unipc(order, variant):
+    n = 12
+    # the reference hardcodes variant='bh2' in multistep_uni_pc_update's
+    # default; drive both through its kwarg via a small subclass
+    r = ref.sampler_edm.UniPCSampler(num_steps=n, order=order, cond_scale=1.0,
+                                     x0_pred=True, log_time_spacing=True)
+    if variant != "bh2":
+        orig = r.multistep_uni_pc_update
+
+        def patched(*a, **kw):
+            kw["variant"] = variant
+            return orig(*a, **kw)
+
+        r.multistep_uni_pc_update = patched
+    run_pair(
+        edm_s.UniPCSampler(num_steps=n, order=order, variant=variant),
+        r, noise0(2), np.asarray(karras_sigmas(n), np.float32),
+    )
+
+
+def test_unipc_eps_pred():
+    n = 10
+    run_pair(
+        edm_s.UniPCSampler(num_steps=n, order=2, x0_pred=False),
+        ref.sampler_edm.UniPCSampler(num_steps=n, order=2, cond_scale=1.0,
+                                     x0_pred=False, log_time_spacing=True),
+        noise0(3), np.asarray(karras_sigmas(n), np.float32),
+    )
+
+
+@pytest.mark.parametrize("order", [2, 4])
+def test_lms(order):
+    n = 12
+    run_pair(
+        edm_s.LMSSampler(num_steps=n, order=order),
+        ref.sampler_edm.LMSSampler(num_steps=n, cond_scale=1.0, order=order),
+        noise0(4), np.asarray(karras_sigmas(n), np.float32),
+        rtol=2e-4, atol=2e-5,  # reference integrates coeffs with quad(epsrel=1e-4)
+    )
+
+
+def test_dpm2m_edm_family():
+    n = 10
+    run_pair(
+        edm_s.DPM2MSampler(num_steps=n),
+        ref.sampler_edm.DPM2MSampler(num_steps=n, cond_scale=1.0),
+        noise0(5), np.asarray(karras_sigmas(n + 1), np.float32),
+    )
+
+
+def test_edm_sampler_deterministic():
+    n = 12
+    run_pair(
+        edm_s.EDMSampler(s_churn=0.0, num_steps=n, use_heun=True),
+        ref.sampler_edm.EDMSampler(s_churn=0.0, num_steps=n, cond_scale=1.0),
+        noise0(6), np.asarray(karras_sigmas(n), np.float32),
+    )
+
+
+def test_edm_sampler_churn_injected_noise():
+    """Stochastic churn: patch torch.randn_like to replay our scan's draws."""
+    n = 10
+    s_churn, s_noise = 8.0, 1.03
+    key = jax.random.key(11)
+    draws = [
+        np.asarray(jax.random.normal(jax.random.fold_in(key, i), SHAPE), np.float32)
+        * s_noise
+        for i in range(n)
+    ]
+    queue = [torch.from_numpy(d / s_noise) for d in draws]
+
+    nz = noise0(7)
+    sig = np.asarray(karras_sigmas(n), np.float32)
+    ours = np.asarray(
+        edm_s.EDMSampler(s_churn=s_churn, s_noise=s_noise, num_steps=n,
+                         use_heun=True)(jnp.asarray(nz), jax_edm_fn,
+                                        jnp.asarray(sig), key=key)
+    )
+    orig = torch.randn_like
+    try:
+        torch.randn_like = lambda x, **kw: queue.pop(0)
+        with torch.no_grad():
+            want = ref.sampler_edm.EDMSampler(
+                s_churn=s_churn, s_noise=s_noise, num_steps=n, cond_scale=1.0
+            )(torch.from_numpy(nz), fn=torch_edm_fn, net=None,
+              sigmas=torch.from_numpy(sig)).numpy()
+    finally:
+        torch.randn_like = orig
+    np.testing.assert_allclose(ours, want, rtol=5e-5, atol=5e-6)
+
+
+# --- stochastic family -------------------------------------------------------
+
+
+@pytest.mark.parametrize("cls_ours,cls_ref", [
+    (st_s.ADPM2Sampler, "ADPM2Sampler"),
+    (st_s.ADPMPP2SSampler, "ADPMPP2SSampler"),
+])
+def test_ancestral_injected_noise(cls_ours, cls_ref):
+    n = 10
+    key = jax.random.key(13)
+    queue = [
+        torch.from_numpy(
+            np.asarray(jax.random.normal(jax.random.fold_in(key, i), SHAPE),
+                       np.float32))
+        for i in range(n - 1)
+    ]
+    nz = noise0(8)
+    sig = np.asarray(karras_sigmas(n), np.float32)
+    ours = np.asarray(
+        cls_ours(num_steps=n)(jnp.asarray(nz), jax_edm_fn, jnp.asarray(sig), key=key)
+    )
+    orig = torch.randn_like
+    try:
+        torch.randn_like = lambda x, **kw: queue.pop(0)
+        with torch.no_grad():
+            want = getattr(ref.stochastic, cls_ref)(num_steps=n, cond_scale=1.0)(
+                torch.from_numpy(nz), fn=torch_edm_fn, net=None,
+                sigmas=torch.from_numpy(sig)).numpy()
+    finally:
+        torch.randn_like = orig
+    np.testing.assert_allclose(ours, want, rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("reflow", [False, True])
+def test_stochastic_dpm2m(reflow):
+    n = 10
+    # grid has num_steps+1 entries, final sigma 0 (reference indexes
+    # sigmas[i+1] for i in range(num_steps))
+    sig = np.append(np.asarray(karras_sigmas(n), np.float32), 0.0)
+    torch_fn, jax_fn = torch_edm_fn, jax_edm_fn
+    if reflow:
+        # reflow mode: grid is t in (0,1]; the net is a velocity field
+        sig = np.linspace(0.999, 0.0, n + 1, dtype=np.float32)
+        torch_fn, jax_fn = torch_rf_fn, jax_rf_fn
+    run_pair(
+        st_s.DPM2MSampler(num_steps=n, reflow=reflow),
+        ref.stochastic.DPM2MSampler(num_steps=n, cond_scale=1.0, reflow=reflow),
+        noise0(9), sig, torch_fn=torch_fn, jax_fn=jax_fn,
+    )
+
+
+def test_dpmpp_sde_injected_noise():
+    """DPM++ SDE: replay our BrownianBridgeNoise pair draws through the
+    reference's noise_sampler seam (it queries (t, s) then (t, t_next) per
+    step, exactly the bridge.pair contract)."""
+    n = 8
+    key = jax.random.key(17)
+    nz = noise0(10)
+    sig = np.asarray(karras_sigmas(n), np.float32)
+
+    bridge = st_s.BrownianBridgeNoise(key, SHAPE, jnp.float32)
+    sigma_fn = lambda t: np.exp(-t)
+    t_fn = lambda s: -np.log(s)
+    rho = 0.5
+    queue = []
+    for i in range(n - 1):
+        s_cur, s_next = sig[i], sig[i + 1]
+        if s_next == 0:
+            continue
+        t, t_next = t_fn(s_cur), t_fn(s_next)
+        s_mid = t + (t_next - t) * rho
+        n1, n2 = bridge.pair(i, sigma_fn(t), sigma_fn(s_mid), sigma_fn(t_next))
+        queue.append(torch.from_numpy(np.asarray(n1)))
+        queue.append(torch.from_numpy(np.asarray(n2)))
+
+    ours = np.asarray(
+        st_s.DPMPPSDESampler(num_steps=n)(jnp.asarray(nz), jax_edm_fn,
+                                          jnp.asarray(sig), key=key)
+    )
+
+    class FakeNoiseSampler:
+        def __init__(self, *a, **kw):
+            pass
+
+        def __call__(self, s0, s1):
+            return queue.pop(0)
+
+    orig = ref.stochastic.BrownianTreeNoiseSampler
+    try:
+        ref.stochastic.BrownianTreeNoiseSampler = FakeNoiseSampler
+        with torch.no_grad():
+            want = ref.stochastic.DPMPPSDESampler(num_steps=n, cond_scale=1.0)(
+                torch.from_numpy(nz), fn=torch_edm_fn, net=None,
+                sigmas=torch.from_numpy(sig)).numpy()
+    finally:
+        ref.stochastic.BrownianTreeNoiseSampler = orig
+    np.testing.assert_allclose(ours, want, rtol=5e-5, atol=5e-6)
+
+
+# --- v-objective family ------------------------------------------------------
+
+
+@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("x0_pred", [True, False])
+def test_vobj_dpm_multistep(order, x0_pred):
+    n = 10
+    tgrid = np.linspace(0.0, 1.0, n + 1, dtype=np.float32)
+    run_pair(
+        vobj_s.DPMSampler(order=order, num_steps=n, multisteps=True, x0_pred=x0_pred),
+        ref.sampler_vobj.DPMSampler(cond_scale=1.0, order=order, num_steps=n,
+                                    multisteps=True, x0_pred=x0_pred),
+        noise0(12), tgrid, torch_fn=torch_v_fn, jax_fn=jax_v_fn,
+    )
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_vobj_unipc_eps_pred(order):
+    n = 12
+    tgrid = np.linspace(0.0, 1.0, n + 1, dtype=np.float32)
+    run_pair(
+        vobj_s.UniPCSampler(num_steps=n, order=order, x0_pred=False),
+        ref.sampler_vobj.UniPCSampler(num_steps=n, order=order, cond_scale=1.0,
+                                      x0_pred=False),
+        noise0(13), tgrid, torch_fn=torch_v_fn, jax_fn=jax_v_fn,
+    )
+
+
+def test_vobj_unipc_x0_corrector_deviation_is_bounded():
+    """DOCUMENTED DEVIATION (PARITY.md): the reference's vobj UniPC x0_pred
+    corrector omits the alpha(lambda_cur) gain on the correction term
+    (sampler_vobj.py:643 — ``x_t_ - B_h * (...)``) that its own edm-family
+    UniPC (sampler_edm.py:990) and its vobj *predictor* (:634) include. Ours
+    applies the factor consistently. This test pins the deviation's size so a
+    regression in either direction is caught."""
+    n = 12
+    tgrid = np.linspace(0.0, 1.0, n + 1, dtype=np.float32)
+    nz = noise0(13)
+    ours = np.asarray(
+        vobj_s.UniPCSampler(num_steps=n, order=2)(jnp.asarray(nz), jax_v_fn,
+                                                  jnp.asarray(tgrid))
+    )
+    with torch.no_grad():
+        theirs = ref.sampler_vobj.UniPCSampler(num_steps=n, order=2, cond_scale=1.0)(
+            torch.from_numpy(nz), fn=torch_v_fn, net=None,
+            sigmas=torch.from_numpy(tgrid)).numpy()
+    diff = np.max(np.abs(ours - theirs))
+    # measured 0.283 at these settings (12 steps, order 2, analytic v-net);
+    # see PARITY.md "Quantified deviations"
+    assert 0.1 < diff < 0.5, f"deviation drifted: {diff}"
+
+
+# --- rectified-flow family ---------------------------------------------------
+
+
+def test_rf_euler():
+    n = 12
+    tgrid = np.linspace(1.0, 0.0, n + 1, dtype=np.float32)
+    run_pair(
+        rf_s.ReflowEulerSampler(num_steps=n),
+        ref.sampler_rf.ReflowEulerSampler(num_steps=n, cond_scale=1.0),
+        noise0(14), tgrid, torch_fn=torch_rf_fn, jax_fn=jax_rf_fn,
+    )
+
+
+def test_rf_dpm2m_sana():
+    n = 10
+    tgrid = np.linspace(1.0, 0.0, n + 1, dtype=np.float32)
+    run_pair(
+        rf_s.DPM2MSANASampler(num_steps=n, time_shift=3.0),
+        ref.sampler_rf.DPM2MSANASampler(num_steps=n, cond_scale=1.0, time_shift=3.0),
+        noise0(15), tgrid, torch_fn=torch_rf_fn, jax_fn=jax_rf_fn,
+    )
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_rf_dpm_multistep(order):
+    n = 10
+    tgrid = np.linspace(0.999, 0.001, n + 1, dtype=np.float32)
+    run_pair(
+        rf_s.DPMSampler(order=order, num_steps=n, multisteps=True),
+        ref.sampler_rf.DPMSampler(cond_scale=1.0, order=order, num_steps=n,
+                                  multisteps=True),
+        noise0(16), tgrid, torch_fn=torch_rf_fn, jax_fn=jax_rf_fn,
+    )
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_rf_unipc(order):
+    n = 12
+    tgrid = np.linspace(0.999, 0.001, n + 1, dtype=np.float32)
+    run_pair(
+        rf_s.UniPCSampler(num_steps=n, order=order),
+        ref.sampler_rf.UniPCSampler(num_steps=n, order=order, cond_scale=1.0),
+        noise0(17), tgrid, torch_fn=torch_rf_fn, jax_fn=jax_rf_fn,
+    )
