@@ -105,6 +105,46 @@ def _load_yaml(path: Path) -> dict:
     return data or {}
 
 
+def _is_global_package(path: Path) -> bool:
+    """True when the file's first non-blank line is `# @package _global_`
+    (hydra semantics: the group file merges at root, not under its group)."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            return line.replace(" ", "") == "#@package_global_"
+    return False
+
+
+def _compose_group(config_dir: Path, group: str, name: str):
+    """Compose configs/<group>/<name>.yaml (following its in-group `defaults`
+    list). Returns (group_dict, root_overlay, has_group): `group_dict` is the
+    content destined for cfg[group]; `root_overlay` the content of any
+    `# @package _global_` files in the chain, to deep-merge at root;
+    `has_group` says whether a non-global file contributed (so an empty group
+    file still *replaces* the group, hydra-style)."""
+    path = _group_file(config_dir, group, str(name))
+    sub = _load_yaml(path)
+    gdict: dict = {}
+    rootdict: dict = {}
+    has_group = False
+    for entry in sub.pop("defaults", []):
+        if entry == "_self_":
+            continue
+        sibling = entry if isinstance(entry, str) else next(iter(entry.values()))
+        g2, r2, h2 = _compose_group(config_dir, group, _strip_ext(str(sibling)))
+        gdict = _deep_merge(gdict, g2)
+        rootdict = _deep_merge(rootdict, r2)
+        has_group = has_group or h2
+    if _is_global_package(path):
+        rootdict = _deep_merge(rootdict, sub)
+    else:
+        gdict = _deep_merge(gdict, sub)
+        has_group = True
+    return gdict, rootdict, has_group
+
+
 def _strip_ext(name: str) -> str:
     return name[:-5] if name.endswith(".yaml") else name
 
@@ -134,9 +174,10 @@ def _apply_defaults(config_dir: Path, cfg: dict, defaults: List) -> dict:
         if group == "experiment":
             # handled separately, after base groups
             continue
-        path = _group_file(config_dir, group, str(name))
-        sub = _load_yaml(path)
-        merged = _deep_merge(merged, {group: sub})
+        gdict, rootdict, has_group = _compose_group(config_dir, group, str(name))
+        if has_group:
+            merged = _deep_merge(merged, {group: gdict})
+        merged = _deep_merge(merged, rootdict)
     if "_self_" not in defaults:
         merged = _deep_merge(merged, cfg)
     return merged
@@ -156,8 +197,10 @@ def _apply_experiment(config_dir: Path, cfg: dict, exp_name: str) -> dict:
         group = key.lstrip("/")
         if name is None:
             continue
-        sub = _load_yaml(_group_file(config_dir, group, str(name)))
-        cfg[group] = sub  # full group replacement, matching hydra override
+        gdict, rootdict, has_group = _compose_group(config_dir, group, str(name))
+        if has_group:
+            cfg[group] = gdict  # full group replacement, matching hydra override
+        cfg = _deep_merge(cfg, rootdict)
     return _deep_merge(cfg, overlay)
 
 
@@ -291,7 +334,10 @@ def compose(
                 and not key.startswith(("+", "~"))
                 and (config_dir / bare).is_dir()
             ):
-                cfg[bare] = _load_yaml(_group_file(config_dir, bare, val))
+                gdict, rootdict, has_group = _compose_group(config_dir, bare, val)
+                if has_group:
+                    cfg[bare] = gdict  # whole-group replacement (hydra)
+                cfg = _deep_merge(cfg, rootdict)
                 continue
         cli.append(ov)
 

@@ -93,6 +93,162 @@ class WandbLogger(BaseLogger):
             self.run.finish()
 
 
+class _OfflineFallbackLogger(BaseLogger):
+    """Shared shape for backends whose client package may be absent
+    (comet_ml / mlflow / neptune are not in the image): when the import
+    fails, metrics are archived to ``<save_dir>/<name>_offline/metrics.jsonl``
+    so runs remain inspectable and uploadable later — the same contract as
+    the services' own offline modes."""
+
+    name = "offline"
+
+    def __init__(self, save_dir: str):
+        self.dir = Path(save_dir) / f"{self.name}_offline"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.dir / "metrics.jsonl", "a")
+
+    def log_hyperparams(self, cfg: Dict):
+        with open(self.dir / "hparams.json", "w") as f:
+            json.dump(cfg, f, indent=2, default=str)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def finalize(self):
+        self._fh.close()
+
+
+class CometLogger(_OfflineFallbackLogger):
+    """Comet logger (reference configs/logger/comet.yaml). Uses comet_ml when
+    installed (API key from COMET_API_TOKEN), else the offline archive."""
+
+    name = "comet"
+
+    def __init__(self, save_dir: str, project_name: str = "audiodiffuser-tpu", **kw):
+        try:
+            import comet_ml
+
+            self.exp = comet_ml.Experiment(
+                api_key=os.environ.get("COMET_API_TOKEN"),
+                project_name=project_name,
+            )
+        except Exception:
+            self.exp = None
+            super().__init__(save_dir)
+
+    def log_hyperparams(self, cfg: Dict):
+        if self.exp is not None:
+            self.exp.log_parameters(cfg)
+        else:
+            super().log_hyperparams(cfg)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        if self.exp is not None:
+            self.exp.log_metrics(metrics, step=step)
+        else:
+            super().log_metrics(metrics, step)
+
+    def finalize(self):
+        if self.exp is not None:
+            self.exp.end()
+        else:
+            super().finalize()
+
+
+class MLFlowLogger(_OfflineFallbackLogger):
+    """MLflow logger (reference configs/logger/mlflow.yaml). Uses mlflow when
+    installed (file-store at ``tracking_uri``), else the offline archive."""
+
+    name = "mlflow"
+
+    def __init__(self, save_dir: str, tracking_uri: str = "", experiment_name: str = "audiodiffuser-tpu", **kw):
+        try:
+            import mlflow
+
+            self.mlflow = mlflow
+            if tracking_uri:
+                mlflow.set_tracking_uri(tracking_uri)
+            mlflow.set_experiment(experiment_name)
+            self.run = mlflow.start_run()
+        except Exception:
+            self.mlflow = None
+            super().__init__(save_dir)
+
+    def log_hyperparams(self, cfg: Dict):
+        if self.mlflow is not None:
+            flat = _flatten(cfg)
+            # mlflow caps param value length; truncate defensively
+            self.mlflow.log_params({k: str(v)[:250] for k, v in flat.items()})
+        else:
+            super().log_hyperparams(cfg)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        if self.mlflow is not None:
+            self.mlflow.log_metrics(
+                {k.replace("/", "_"): float(v) for k, v in metrics.items()}, step=step
+            )
+        else:
+            super().log_metrics(metrics, step)
+
+    def finalize(self):
+        if self.mlflow is not None:
+            self.mlflow.end_run()
+        else:
+            super().finalize()
+
+
+class NeptuneLogger(_OfflineFallbackLogger):
+    """Neptune logger (reference configs/logger/neptune.yaml). Uses neptune
+    when installed (API key from NEPTUNE_API_TOKEN), else the offline archive."""
+
+    name = "neptune"
+
+    def __init__(self, save_dir: str, project: str = "", **kw):
+        try:
+            import neptune
+
+            self.run = neptune.init_run(
+                project=project or None,
+                api_token=os.environ.get("NEPTUNE_API_TOKEN"),
+            )
+        except Exception:
+            self.run = None
+            super().__init__(save_dir)
+
+    def log_hyperparams(self, cfg: Dict):
+        if self.run is not None:
+            self.run["parameters"] = _flatten(cfg)
+        else:
+            super().log_hyperparams(cfg)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int):
+        if self.run is not None:
+            for k, v in metrics.items():
+                self.run[k].append(float(v), step=step)
+        else:
+            super().log_metrics(metrics, step)
+
+    def finalize(self):
+        if self.run is not None:
+            self.run.stop()
+        else:
+            super().finalize()
+
+
+def _flatten(cfg: Dict, prefix: str = "") -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for k, v in cfg.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
 class MultiLogger(BaseLogger):
     def __init__(self, loggers: List[BaseLogger]):
         self.loggers = loggers

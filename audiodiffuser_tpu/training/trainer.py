@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,26 @@ from ..parallel.mesh import (
 )
 from .ema import PowerFunctionEMA, TraditionalEMA
 from .logging import BaseLogger
+
+
+class _ListLoader:
+    """A loader over cached batches (overfit_batches support)."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _resolve_limit(limit, n_batches: int):
+    """A float limit in (0, 1) means a fraction of the loader (>=1 batch)."""
+    if isinstance(limit, float) and 0 < limit < 1:
+        return max(1, int(limit * n_batches))
+    return limit
 
 
 class TrainState(struct.PyTreeNode):
@@ -81,6 +101,9 @@ class Trainer:
         fsdp_min_size: int = 2**14,  # shard arrays with >= this many elements
         tp_axis_size: int = 2,  # 'tp': size of the model axis (dp x model mesh)
         ckpt_keep_last: Optional[int] = None,  # prune old epoch_* checkpoints
+        overfit_batches: int = 0,  # train AND validate on the first N batches
+        limit_test_batches: Optional[int] = None,
+        callbacks: Optional[Sequence] = None,  # Callback hook objects
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -105,6 +128,7 @@ class Trainer:
             self.max_epochs = 1
             self.limit_train_batches = 1
             self.limit_val_batches = 1
+            limit_test_batches = 1
 
         if task.use_ema and task.use_phema:
             self.ema = PowerFunctionEMA(stds=(0.050, 0.100))
@@ -135,6 +159,9 @@ class Trainer:
                 )
                 self.param_sharding = "replicated"
         self._epochs_without_improvement = 0
+        self.overfit_batches = overfit_batches
+        self.limit_test_batches = limit_test_batches
+        self.callbacks = list(callbacks or [])
 
         self.best_val_loss = float("inf")
         self._compiled_train_step = None
@@ -254,6 +281,16 @@ class Trainer:
     def fit(self, datamodule, state: Optional[TrainState] = None, ckpt_path=None):
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
+        if self.overfit_batches:
+            # reference debug/overfit.yaml (Lightning overfit_batches): loop
+            # the same first N batches for training AND validation
+            cached = []
+            for i, b in enumerate(train_loader):
+                cached.append(b)
+                if i + 1 >= self.overfit_batches:
+                    break
+            train_loader = _ListLoader(cached)
+            val_loader = _ListLoader(cached)
 
         try:
             first_batch = next(iter(train_loader))
@@ -262,6 +299,13 @@ class Trainer:
                 "training dataloader yielded no batches — dataset smaller "
                 "than batch_size with drop_last, or empty data_dir"
             ) from None
+        # fractional limits (reference debug/limit.yaml uses e.g. 0.01)
+        self.limit_train_batches = _resolve_limit(
+            self.limit_train_batches, len(train_loader)
+        )
+        self.limit_val_batches = _resolve_limit(
+            self.limit_val_batches, len(val_loader)
+        )
         self._fit_mesh_to_batch(first_batch["audio"].shape[0])
         if state is None:
             state = self.init_state(first_batch)
@@ -275,6 +319,9 @@ class Trainer:
             print(f"[trainer] model parameters: {n_params:,}")
             if self.logger:
                 self.logger.log_metrics({"model/params": n_params}, 0)
+
+        for cb in self.callbacks:
+            cb.on_fit_start(self, state)
 
         key = jax.random.key(self.seed + 1)
         step = int(jax.device_get(state.step))
@@ -362,6 +409,11 @@ class Trainer:
             if self.logger and is_main_process():
                 self.logger.log_metrics(log, step)
 
+            for cb in self.callbacks:
+                if cb.on_train_epoch_end(self, state, log):
+                    print(f"[trainer] stop requested by {type(cb).__name__}")
+                    done = True
+
             epoch += 1
             state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
             if epoch % self.ckpt_every_n_epochs == 0 or epoch == self.max_epochs:
@@ -371,6 +423,8 @@ class Trainer:
 
         # always leave a resumable 'last' even if no epoch ran
         self.save_checkpoint(state, name="last")
+        for cb in self.callbacks:
+            cb.on_fit_end(self, state)
         return state
 
     def validate(self, state, val_loader, key, step) -> Dict[str, float]:
@@ -416,6 +470,8 @@ class Trainer:
             batch_size = datamodule.batch_size if datamodule else 16
         total = self.task.total_test_samples or batch_size
         iterations = max(total // batch_size, 1)
+        if self.limit_test_batches:
+            iterations = min(iterations, int(self.limit_test_batches))
 
         # shard generation across the mesh when the batch divides it: the
         # class/noise batch axis is partitioned over 'data', params replicated

@@ -40,8 +40,11 @@ from audiodiffuser_tpu.utils import (
 def build_logger(cfg, output_dir):
     from audiodiffuser_tpu.training.logging import (
         BaseLogger,
+        CometLogger,
         CSVLogger,
+        MLFlowLogger,
         MultiLogger,
+        NeptuneLogger,
         TensorBoardLogger,
         WandbLogger,
     )
@@ -56,7 +59,42 @@ def build_logger(cfg, output_dir):
             loggers.append(TensorBoardLogger(str(output_dir)))
         elif name == "wandb":
             loggers.append(WandbLogger(str(output_dir), **{k: v for k, v in sub.items() if k in ("project", "group", "tags")}))
+        elif name == "comet":
+            loggers.append(CometLogger(str(output_dir), project_name=sub.get("project_name", "audiodiffuser-tpu")))
+        elif name == "mlflow":
+            loggers.append(MLFlowLogger(str(output_dir), tracking_uri=sub.get("tracking_uri", ""), experiment_name=sub.get("experiment_name", "audiodiffuser-tpu")))
+        elif name == "neptune":
+            loggers.append(NeptuneLogger(str(output_dir), project=sub.get("project", "")))
     return MultiLogger(loggers) if loggers else BaseLogger()
+
+
+def build_callbacks(cfg):
+    """Translate the ``callbacks`` config group into (trainer_kwargs,
+    callback_objects). Known sections map onto Trainer mechanics; sections
+    with a ``_target_`` instantiate Callback hook objects (reference
+    instantiate_callbacks, src/utils/instantiators.py:13-30)."""
+    kwargs = {}
+    objects = []
+    for name, sub in (cfg.get("callbacks") or {}).items():
+        if sub is None:
+            continue
+        if isinstance(sub, dict) and "_target_" in sub:
+            objects.append(instantiate(dict(sub)))
+            continue
+        if name == "model_checkpoint":
+            if sub.get("every_n_epochs") is not None:
+                kwargs["ckpt_every_n_epochs"] = int(sub["every_n_epochs"])
+            if sub.get("keep_last") is not None:
+                kwargs["ckpt_keep_last"] = int(sub["keep_last"])
+        elif name == "early_stopping":
+            if sub.get("patience") is not None:
+                kwargs["early_stopping_patience"] = int(sub["patience"])
+                kwargs["early_stopping_min_delta"] = float(sub.get("min_delta", 0.0))
+        elif name == "progress_bar":
+            kwargs["progress_bar"] = bool(sub.get("enabled", True))
+    if "callbacks" in cfg and not cfg.get("callbacks"):
+        kwargs["progress_bar"] = False  # callbacks=none also drops the bar
+    return kwargs, objects
 
 
 def build_trainer_and_task(cfg, output_dir):
@@ -79,31 +117,38 @@ def build_trainer_and_task(cfg, output_dir):
         optimizer_cfg["learning_rate"] = instantiate(scheduler_cfg)
     optimizer = instantiate(optimizer_cfg)
 
-    trainer_cfg = {
-        k: v
-        for k, v in dict(cfg.get("trainer", {})).items()
-        if k
-        in (
-            "max_epochs",
-            "min_epochs",
-            "max_steps",
-            "check_val_every_n_epoch",
-            "limit_train_batches",
-            "limit_val_batches",
-            "ckpt_every_n_epochs",
-            "fast_dev_run",
-            "accumulate_grad_batches",
-            "early_stopping_patience",
-            "early_stopping_min_delta",
-            "progress_bar",
-            "param_sharding",
-            "fsdp_min_size",
-            "tp_axis_size",
-            "ckpt_keep_last",
-        )
-    }
+    # callbacks group fills defaults; explicit trainer.* keys win
+    trainer_cfg, callback_objects = build_callbacks(cfg)
+    trainer_cfg.update(
+        {
+            k: v
+            for k, v in dict(cfg.get("trainer", {})).items()
+            if k
+            in (
+                "max_epochs",
+                "min_epochs",
+                "max_steps",
+                "check_val_every_n_epoch",
+                "limit_train_batches",
+                "limit_val_batches",
+                "limit_test_batches",
+                "overfit_batches",
+                "ckpt_every_n_epochs",
+                "fast_dev_run",
+                "accumulate_grad_batches",
+                "early_stopping_patience",
+                "early_stopping_min_delta",
+                "progress_bar",
+                "param_sharding",
+                "fsdp_min_size",
+                "tp_axis_size",
+                "ckpt_keep_last",
+            )
+        }
+    )
     logger = build_logger(cfg, output_dir)
     trainer = Trainer(
+        callbacks=callback_objects + _EXTRA_CALLBACKS,
         task=task,
         optimizer=optimizer,
         logger=logger,
@@ -166,47 +211,61 @@ def train(cfg):
     return metrics
 
 
-def sample_search_overrides(search_cfg, rng):
-    """Draw one trial's overrides from an hparams_search spec."""
-    out = []
-    for key, spec in dict(search_cfg.get("params", {})).items():
-        if "choices" in spec:
-            val = spec["choices"][rng.integers(len(spec["choices"]))]
-        elif spec.get("log"):
-            import math
-
-            val = math.exp(
-                rng.uniform(math.log(spec["low"]), math.log(spec["high"]))
-            )
-        else:
-            val = float(rng.uniform(spec["low"], spec["high"]))
-        out.append(f"{key}={val}")
-    return out
+# extra Callback objects appended to every trainer built by train() — the
+# sweeper injects its PruningCallback here (objects can't ride the yaml cfg)
+_EXTRA_CALLBACKS: list = []
 
 
 def run_hparams_search(base_overrides, stamp):
-    """Random-search sweeper (replaces the reference's optuna sweeper)."""
-    import numpy as np
+    """Hyperparameter sweeper: random or TPE sampler + optional median
+    pruner (replaces the reference's hydra-optuna sweeper; see
+    training/sweeper.py)."""
+    from audiodiffuser_tpu.training.sweeper import (
+        PruningCallback,
+        build_pruner,
+        build_sampler,
+    )
 
     probe = compose(str(ROOT / "configs"), "train", base_overrides)
     search = probe.hparams_search
-    rng = np.random.default_rng(search.get("seed", 0))
-    best_val, best_overrides = None, None
+    sampler = build_sampler(search.to_dict())
+    pruner = build_pruner(search.to_dict())
+    best_val, best_params = None, None
     sign = -1.0 if search.get("direction", "minimize") == "maximize" else 1.0
+    history = []  # (params_dict, value) pairs fed back to the sampler
     for trial in range(search["n_trials"]):
-        trial_over = base_overrides + sample_search_overrides(search, rng)
+        params = sampler.suggest(history)
+        trial_over = base_overrides + [f"{k}={v}" for k, v in params.items()]
         cfg = compose(str(ROOT / "configs"), "train", trial_over)
         cfg.paths.output_dir = str(
             Path(cfg.paths.log_dir)
             / cfg.get("task_name", "train")
             / f"search/{stamp}/{trial}"
         )
-        metrics = train(cfg)
+        prune_cb = None
+        if pruner is not None:
+            prune_cb = PruningCallback(
+                pruner, trial, monitor=cfg.get("optimized_metric", "val/loss")
+            )
+            _EXTRA_CALLBACKS.append(prune_cb)
+        try:
+            metrics = train(cfg)
+        finally:
+            if prune_cb is not None:
+                _EXTRA_CALLBACKS.remove(prune_cb)
         val = get_metric_value(metrics, cfg.get("optimized_metric"))
-        print(f"[search] trial {trial}: {trial_over[-len(search['params']):]} -> {val}")
-        if val is not None and (best_val is None or sign * val < sign * best_val):
-            best_val, best_overrides = val, trial_over
-    print(f"[search] best {cfg.get('optimized_metric')}={best_val} with {best_overrides}")
+        pruned = prune_cb.pruned if prune_cb else False
+        if pruner is not None and not pruned:
+            pruner.complete(trial)
+        history.append((params, None if pruned else val))
+        print(f"[search] trial {trial}: {params} -> {val}{' (pruned)' if pruned else ''}")
+        if (
+            val is not None
+            and not pruned
+            and (best_val is None or sign * val < sign * best_val)
+        ):
+            best_val, best_params = val, params
+    print(f"[search] best {probe.get('optimized_metric')}={best_val} with {best_params}")
     return best_val
 
 
