@@ -45,10 +45,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-# default 64: the largest batch that fits the single dev-tunnel chip today
-# (throughput is within noise of 128 on paper; a fallback ladder handles
-# smaller-memory devices). Override with BENCH_BATCH.
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+# batch 128 = the reference-defined eval workload (BASELINE.md). The chip's
+# activation sweet spot is 64, so generation microbatches as 2x64 inside the
+# jit (task.sample_microbatch); a subprocess-isolated fallback ladder handles
+# smaller-memory devices. Override with BENCH_BATCH / BENCH_MICROBATCH.
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
+MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", 64))
 STEPS = 32
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.25  # central estimate for eager fp16 conv UNets
@@ -88,20 +90,29 @@ def build_task(dtype=jnp.bfloat16):
         hop_length=128,
         generated_frame_length=128,
         generated_sample_class=10,
+        sample_microbatch=MICROBATCH if MICROBATCH > 0 else None,
     )
 
 
 def main():
-    last_err = None
+    if "--single" in sys.argv:
+        return run(int(sys.argv[sys.argv.index("--single") + 1]))
+    # a device fault can wedge the process's TPU client, so each ladder rung
+    # runs in its own subprocess
+    import subprocess
+
     ladder = [b for b in dict.fromkeys([BATCH, 64, 32, 16]) if b <= BATCH]
     for batch in ladder:
-        try:
-            return run(batch)
-        except Exception as e:  # device OOM/fault: retry smaller
-            last_err = e
-            print(f"# batch {batch} failed: {type(e).__name__}; retrying smaller",
-                  file=sys.stderr)
-    raise last_err
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", str(batch)],
+            stdout=subprocess.PIPE,
+        )
+        if proc.returncode == 0:
+            sys.stdout.buffer.write(proc.stdout)
+            return
+        print(f"# batch {batch} failed (rc={proc.returncode}); retrying smaller",
+              file=sys.stderr)
+    raise RuntimeError("all bench batch sizes failed")
 
 
 def run(BATCH):
