@@ -7,34 +7,34 @@ Pipeline:
      UNet Block): x [B,H,W,C] -> phases [B,2,2,H/2+1,W/2+1,C] where
      phases[i,j] = pad(x,1)[i::2, j::2]. Every Winograd input-tile slice
      d_ij is then a *unit-stride* shifted window of a phase plane — no
-     strided VMEM access, no halo blocks.
-  2. Pallas kernel, grid (B, Co-blocks): per program, transform the full
-     tile plane (V = B^T d B as +/- sums on the VPU), 16 channel-contraction
-     matmuls against the pre-transformed kernel U (MXU, fp32 accumulation),
-     inverse transform (A^T M A), all in VMEM. HBM sees x once in and y once
-     out — the 2.25x multiply reduction comes with no transform traffic.
-  3. ``polyphase_reassemble`` (XLA): [B,2,2,H/2,W/2,Co] -> [B,H,W,Co].
+     strided VMEM access, no halo BlockSpecs.
+  2. Tile-row split (XLA): the tile plane is cut into row slabs of <= ~512
+     tiles with a duplicated one-row halo, flattened into the grid's leading
+     dim, so each Pallas program fits VMEM with fp32 M accumulators and no
+     output-channel splitting.
+  3. Pallas kernel, grid (B*S,): per program, V = B^T d B as +/- sums on the
+     VPU, 16 channel-contraction matmuls against the pre-transformed kernel
+     U (MXU, fp32 accumulation), inverse transform A^T M A, all in VMEM.
+     HBM sees the activation once in and once out — the 2.25x multiply
+     reduction comes with no transform traffic.
+  4. ``polyphase_reassemble`` (XLA): [B*S,2,2,THb,TW,Co] -> [B,H,W,Co].
 
 Used by the UNet Block at inference for stride-1 SAME 3x3 convs with even
-H, W and Cin, Cout >= 128 (ADT_WINOGRAD=0 disables; =1 forces where legal).
+H, W and Cin, Cout >= 64 (ADT_WINOGRAD=0 disables).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .winograd import transform_kernel
 
-# B^T row combinations: V row transform. BT = [[1,0,-1,0],[0,1,1,0],
-# [0,-1,1,0],[0,1,0,-1]]; A^T = [[1,1,1,0],[0,1,-1,-1]].
+_MAX_TILES = 512  # per-program tile budget (VMEM: fp32 M = 16*tiles*Co*4)
 
 
 def polyphase_decompose(x, scale=None, shift=None, silu: bool = False):
@@ -54,47 +54,49 @@ def polyphase_decompose(x, scale=None, shift=None, silu: bool = False):
     return jnp.stack(rows, axis=1)  # [B, 2, 2, H/2+1, W/2+1, C]
 
 
-def polyphase_reassemble(y):
-    """[B, 2, 2, TH, TW, Co] -> [B, 2*TH, 2*TW, Co]."""
-    b, _, _, th, tw, co = y.shape
-    # [B, TH, 2(p), TW, 2(q), Co]
-    y = y.transpose(0, 3, 1, 4, 2, 5)
-    return y.reshape(b, 2 * th, 2 * tw, co)
+def polyphase_reassemble(y, batch: int):
+    """[B*S, 2, 2, THb, TW, Co] -> [B, 2*S*THb, 2*TW, Co]."""
+    bs, _, _, thb, tw, co = y.shape
+    s = bs // batch
+    # [B, S, THb, 2(p), TW, 2(q), Co] -> [B, H, W, Co]
+    y = y.reshape(batch, s, 2, 2, thb, tw, co).transpose(0, 1, 4, 2, 5, 3, 6)
+    return y.reshape(batch, 2 * s * thb, 2 * tw, co)
 
 
-def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co_b, out_dtype):
-    """One (batch item, Co-block): full tile-plane Winograd in VMEM.
+def _row_split(th: int, tw: int) -> int:
+    """Number of tile-row slabs so each program holds <= _MAX_TILES tiles."""
+    s = 1
+    while th % (2 * s) == 0 and (th // s) * tw > _MAX_TILES:
+        s *= 2
+    return s
+
+
+def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co, out_dtype):
+    """One (batch item x row slab): Winograd transform + 16 matmuls +
+    inverse transform, fully in VMEM.
 
     phases_ref: [1, 2, 2, TH+1, TW+1, Ci]
-    u_ref:      [16, Ci, Co_b]  (G w G^T, positions flattened row-major)
-    out_ref:    [1, 2, 2, TH, TW, Co_b]  (polyphase output)
+    u_ref:      [16, Ci, Co]  (G w G^T, positions flattened row-major)
+    out_ref:    [1, 2, 2, TH, TW, Co]  (polyphase output)
     """
     # d_ij(ty,tx) = xp[2ty+i, 2tx+j] = phases[i%2, j%2][ty + i//2, tx + j//2]
     def d(i, j):
         return phases_ref[0, i % 2, j % 2, i // 2 : i // 2 + th,
                           j // 2 : j // 2 + tw, :].astype(jnp.float32)
 
-    # row transform R_a,j = sum_i BT[a,i] d_ij ; BT rows: (d0 - d2),
-    # (d1 + d2), (d2 - d1), (d1 - d3)
+    # BT rows: (d0 - d2), (d1 + d2), (d2 - d1), (d1 - d3)
+    def bt_row(a, j):
+        if a == 0:
+            return d(0, j) - d(2, j)
+        if a == 1:
+            return d(1, j) + d(2, j)
+        if a == 2:
+            return d(2, j) - d(1, j)
+        return d(1, j) - d(3, j)
+
     m_acc = []
-    d_cache = {}
-
-    def dget(i, j):
-        if (i, j) not in d_cache:
-            d_cache[(i, j)] = d(i, j)
-        return d_cache[(i, j)]
-
     for a in range(4):
-        r = []
-        for j in range(4):
-            if a == 0:
-                r.append(dget(0, j) - dget(2, j))
-            elif a == 1:
-                r.append(dget(1, j) + dget(2, j))
-            elif a == 2:
-                r.append(dget(2, j) - dget(1, j))
-            else:
-                r.append(dget(1, j) - dget(3, j))
+        r = [bt_row(a, j) for j in range(4)]
         # column transform V_ab = sum_j BT[b,j] R_a,j
         vs = (r[0] - r[2], r[1] + r[2], r[2] - r[1], r[1] - r[3])
         for b, v in enumerate(vs):
@@ -104,7 +106,7 @@ def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co_b, out_dtype)
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_acc.append(m)  # [TH*TW, Co_b] fp32
+            m_acc.append(m)  # [TH*TW, Co] fp32
 
     # inverse transform Y_pq = sum_ab AT[p,a] AT[q,b] M_ab
     # AT rows: (m0 + m1 + m2), (m1 - m2 - m3)
@@ -116,25 +118,8 @@ def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co_b, out_dtype)
         rb = [mrow(p, b) for b in range(4)]
         y0 = rb[0] + rb[1] + rb[2]
         y1 = rb[1] - rb[2] - rb[3]
-        out_ref[0, p, 0] = y0.reshape(th, tw, co_b).astype(out_dtype)
-        out_ref[0, p, 1] = y1.reshape(th, tw, co_b).astype(out_dtype)
-
-
-def _pick_co_block(th, tw, ci, co) -> int:
-    """Largest Co block keeping the kernel's VMEM footprint under budget."""
-    tiles = th * tw
-    budget = 13 * 2**20  # leave headroom out of ~16MB VMEM
-    for co_b in (co, co // 2, co // 4):
-        if co_b is None or co_b < 8 or co % co_b:
-            continue
-        phases = 2 * 2 * 2 * (th + 1) * (tw + 1) * ci  # bf16, double-buffered
-        u = 16 * ci * co_b * 2
-        m = 16 * tiles * co_b * 4
-        out = 2 * 4 * tiles * co_b * 2
-        v = tiles * ci * 4 * 6  # transform temporaries (rough)
-        if phases + u + m + out + v < budget:
-            return co_b
-    return max(co // 8, 8)
+        out_ref[0, p, 0] = y0.reshape(th, tw, co).astype(out_dtype)
+        out_ref[0, p, 1] = y1.reshape(th, tw, co).astype(out_dtype)
 
 
 def winograd_conv3x3(
@@ -153,26 +138,35 @@ def winograd_conv3x3(
     th, tw = h // 2, wd // 2
     phases = polyphase_decompose(x, scale, shift, silu).astype(jnp.bfloat16)
     u = transform_kernel(w).reshape(16, ci, co).astype(jnp.bfloat16)
-    co_b = _pick_co_block(th, tw, ci, co)
+
+    s = _row_split(th, tw)
+    thb = th // s
+    if s > 1:
+        # row slabs with a duplicated one-row halo, folded into the grid dim
+        phases = jnp.concatenate(
+            [phases[:, :, :, k * thb : k * thb + thb + 1] for k in range(s)],
+            axis=0,
+        ).reshape(s, b, 2, 2, thb + 1, tw + 1, ci).transpose(1, 0, 2, 3, 4, 5, 6
+        ).reshape(b * s, 2, 2, thb + 1, tw + 1, ci)
 
     out = pl.pallas_call(
         functools.partial(
-            _winograd_kernel, th=th, tw=tw, ci=ci, co_b=co_b, out_dtype=x.dtype
+            _winograd_kernel, th=thb, tw=tw, ci=ci, co=co, out_dtype=x.dtype
         ),
-        grid=(b, co // co_b),
+        grid=(b * s,),
         in_specs=[
             pl.BlockSpec(
-                (1, 2, 2, th + 1, tw + 1, ci), lambda i, j: (i, 0, 0, 0, 0, 0)
+                (1, 2, 2, thb + 1, tw + 1, ci), lambda i: (i, 0, 0, 0, 0, 0)
             ),
-            pl.BlockSpec((16, ci, co_b), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((16, ci, co), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, 2, th, tw, co_b), lambda i, j: (i, 0, 0, 0, 0, j)
+            (1, 2, 2, thb, tw, co), lambda i: (i, 0, 0, 0, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 2, 2, th, tw, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * s, 2, 2, thb, tw, co), x.dtype),
         interpret=interpret,
     )(phases, u)
-    return polyphase_reassemble(out)
+    return polyphase_reassemble(out, b)
 
 
 def winograd_eligible(x_shape, w_shape, stride, padding) -> bool:

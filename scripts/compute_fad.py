@@ -1,24 +1,66 @@
 #!/usr/bin/env python
 """Frechet Audio Distance between two directories of wav files.
 
-Usage: python scripts/compute_fad.py --real DIR --fake DIR
+Usage:
+    python scripts/compute_fad.py --real DIR --fake DIR
+        [--embedder logmel|vggish] [--embedder-ckpt CKPT_DIR]
+
+``--embedder vggish`` uses the learned VGGish-architecture embedder trained
+by scripts/train_embedder.py (evaluation/embedder.py). FAD values are only
+comparable under the same embedder checkpoint; the checkpoint fingerprint is
+printed alongside the score.
 """
 import argparse
+import hashlib
+import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
-from audiodiffuser_tpu.evaluation.fad import fad_between_dirs
+
+def _ckpt_fingerprint(path: str) -> str:
+    h = hashlib.sha256()
+    for f in sorted(Path(path).rglob("*")):
+        if f.is_file():
+            h.update(f.name.encode())
+            h.update(f.read_bytes())
+    return h.hexdigest()[:16]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", required=True)
     ap.add_argument("--fake", required=True)
+    ap.add_argument("--embedder", choices=["logmel", "vggish"], default="logmel")
+    ap.add_argument("--embedder-ckpt", default=None)
+    ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS", ""))
+    ap.add_argument("--json", action="store_true", help="print one JSON line")
     args = ap.parse_args()
-    fad = fad_between_dirs(args.real, args.fake)
-    print(f"FAD: {fad:.4f}")
+
+    embedder = None
+    fingerprint = "logmel-builtin"
+    if args.embedder == "vggish":
+        if not args.embedder_ckpt:
+            ap.error("--embedder vggish requires --embedder-ckpt")
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        from audiodiffuser_tpu.evaluation.embedder import load_embedder
+
+        embedder = load_embedder(args.embedder_ckpt)
+        fingerprint = _ckpt_fingerprint(args.embedder_ckpt)
+
+    from audiodiffuser_tpu.evaluation.fad import fad_between_dirs
+
+    fad = fad_between_dirs(args.real, args.fake, embedder)
+    if args.json:
+        print(json.dumps({"fad": round(fad, 4), "embedder": args.embedder,
+                          "embedder_fingerprint": fingerprint}))
+    else:
+        print(f"FAD: {fad:.4f}  (embedder={args.embedder}, ckpt={fingerprint})")
 
 
 if __name__ == "__main__":

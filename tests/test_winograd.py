@@ -1,0 +1,89 @@
+"""Winograd F(2x2,3x3) conv: XLA reference and Pallas kernel (interpret
+mode) vs lax.conv_general_dilated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import audiodiffuser_tpu.ops.winograd_pallas as wp
+from audiodiffuser_tpu.ops.winograd import winograd_conv3x3_xla
+from audiodiffuser_tpu.ops.winograd_pallas import (
+    polyphase_decompose,
+    polyphase_reassemble,
+    winograd_conv3x3,
+    winograd_eligible,
+)
+
+
+def conv_ref(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_xla_winograd_exact_fp32():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 6, 5))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 5, 7)) * 0.2
+    np.testing.assert_allclose(
+        winograd_conv3x3_xla(x, w), conv_ref(x, w), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_polyphase_roundtrip():
+    x = jax.random.normal(jax.random.key(2), (3, 8, 4, 16))
+    phases = polyphase_decompose(x)
+    assert phases.shape == (3, 2, 2, 5, 3, 16)
+    # interior of each phase plane reproduces x's polyphase components
+    # (pad 1 shifts parities: phases[i,j][m,n] = xp[2m+i, 2n+j] = x[2m+i-1, 2n+j-1])
+    np.testing.assert_array_equal(phases[:, 0, 0, 1:, 1:], x[:, 1::2, 1::2])
+    np.testing.assert_array_equal(phases[:, 1, 1, :-1, :-1], x[:, 0::2, 0::2])
+    # reassemble inverts a tile-space [B,2,2,th,tw,C] layout
+    y = jnp.stack(
+        [jnp.stack([x[:, p::2, q::2] for q in range(2)], 1) for p in range(2)], 1
+    )
+    np.testing.assert_array_equal(polyphase_reassemble(y, 3), x)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 8, 128, 128), (1, 32, 8, 64, 72)])
+def test_pallas_winograd_matches_conv(shape):
+    b, h, wd, ci, co = shape
+    x = jax.random.normal(jax.random.key(3), (b, h, wd, ci))
+    w = jax.random.normal(jax.random.key(4), (3, 3, ci, co)) * 0.05
+    got = winograd_conv3x3(x, w, interpret=True)
+    ref = conv_ref(x, w)
+    # bf16 matmul inputs: tolerance at bf16 resolution of the output scale
+    tol = 8e-3 * float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) < tol
+
+
+def test_pallas_winograd_row_split(monkeypatch):
+    monkeypatch.setattr(wp, "_MAX_TILES", 8)
+    x = jax.random.normal(jax.random.key(5), (2, 16, 8, 64))
+    w = jax.random.normal(jax.random.key(6), (3, 3, 64, 64)) * 0.05
+    assert wp._row_split(8, 4) > 1
+    got = winograd_conv3x3(x, w, interpret=True)
+    ref = conv_ref(x, w)
+    tol = 8e-3 * float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) < tol
+
+
+def test_pallas_winograd_fused_prologue():
+    x = jax.random.normal(jax.random.key(7), (1, 8, 8, 64))
+    w = jax.random.normal(jax.random.key(8), (3, 3, 64, 64)) * 0.05
+    scale = jax.random.normal(jax.random.key(9), (1, 1, 1, 64)) * 0.1 + 1.0
+    shift = jax.random.normal(jax.random.key(10), (1, 1, 1, 64)) * 0.1
+    ref = conv_ref(jax.nn.silu(x * scale + shift), w)
+    got = winograd_conv3x3(x, w, scale=scale, shift=shift, silu=True, interpret=True)
+    tol = 8e-3 * float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) < tol
+
+
+def test_eligibility_gate(monkeypatch):
+    ok = ((4, 16, 8, 128), (3, 3, 128, 128))
+    assert winograd_eligible(ok[0], ok[1], (1, 1), "SAME")
+    assert not winograd_eligible((4, 15, 8, 128), (3, 3, 128, 128), (1, 1), "SAME")
+    assert not winograd_eligible(ok[0], (3, 3, 128, 128), (2, 2), "SAME")
+    assert not winograd_eligible((4, 16, 8, 2), (3, 3, 2, 128), (1, 1), "SAME")
+    monkeypatch.setenv("ADT_WINOGRAD", "0")
+    assert not winograd_eligible(ok[0], ok[1], (1, 1), "SAME")
