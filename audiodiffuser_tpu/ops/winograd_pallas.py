@@ -4,20 +4,21 @@ algorithm and the XLA reference implementation).
 Pipeline:
   1. ``polyphase_decompose`` (XLA, one fused elementwise pass; optionally
      fuses a scale/shift + SiLU prologue, i.e. the GroupNorm epilogue of the
-     UNet Block): x [B,H,W,C] -> phases [B,2,2,H/2+1,W/2+1,C] where
-     phases[i,j] = pad(x,1)[i::2, j::2]. Every Winograd input-tile slice
-     d_ij is then a *unit-stride* shifted window of a phase plane — no
-     strided VMEM access, no halo BlockSpecs.
-  2. Tile-row split (XLA): the tile plane is cut into row slabs of <= ~512
-     tiles with a duplicated one-row halo, flattened into the grid's leading
-     dim, so each Pallas program fits VMEM with fp32 M accumulators and no
-     output-channel splitting.
-  3. Pallas kernel, grid (B*S,): per program, V = B^T d B as +/- sums on the
-     VPU, 16 channel-contraction matmuls against the pre-transformed kernel
-     U (MXU, fp32 accumulation), inverse transform A^T M A, all in VMEM.
-     HBM sees the activation once in and once out — the 2.25x multiply
-     reduction comes with no transform traffic.
-  4. ``polyphase_reassemble`` (XLA): [B*S,2,2,THb,TW,Co] -> [B,H,W,Co].
+     UNet Block): x [B,H,W,C] -> phases [B,H/2+1,W/2+1,4*C] where channel
+     group k = 2*i+j holds pad(x,1)[i::2, j::2]. Every Winograd input-tile
+     slice d_ij is then a *unit-stride* shifted window of a channel group —
+     no strided VMEM access, no halo BlockSpecs — and the channel-major
+     layout keeps DMA rows wide (lane dim 4C) instead of fragmenting into
+     (2,2,·,·) micro-tiles.
+  2. Tile-row split (XLA): the tile plane is cut into row slabs of <=
+     ``_MAX_TILES`` tiles with a duplicated one-row halo, flattened into the
+     grid's leading dim, bounding per-program VMEM.
+  3. Pallas kernel, grid (B*S,): V = B^T d B as +/- sums on the VPU, 16
+     channel-contraction matmuls against the pre-transformed kernel U (MXU,
+     fp32 accumulation), inverse transform A^T M A, all in VMEM. HBM sees
+     the activation once in and once out — the 2.25x multiply reduction
+     comes with no transform traffic.
+  4. ``polyphase_reassemble`` (XLA): [B*S,THb,TW,4*Co] -> [B,H,W,Co].
 
 Used by the UNet Block at inference for stride-1 SAME 3x3 convs with even
 H, W and Cin, Cout >= 64 (ADT_WINOGRAD=0 disables).
@@ -34,39 +35,48 @@ from jax.experimental import pallas as pl
 
 from .winograd import transform_kernel
 
-_MAX_TILES = 512  # per-program tile budget (VMEM: fp32 M = 16*tiles*Co*4)
+def _max_tiles(ci: int, co: int) -> int:
+    """Per-program tile budget: the VMEM-resident compute terms are
+    M (16*t*co*2 bf16), R (4*t*ci*4 fp32) and d temporaries (~2*t*ci*4);
+    cap them near 6 MB, leaving room for the pipelined in/out blocks and U.
+    ADT_WINO_MAX_TILES overrides for tuning."""
+    env = os.environ.get("ADT_WINO_MAX_TILES")
+    if env:
+        return int(env)
+    return max(6_000_000 // (32 * co + 24 * ci), 64)
 
 
 def polyphase_decompose(x, scale=None, shift=None, silu: bool = False):
-    """[B, H, W, C] -> [B, 2, 2, H/2+1, W/2+1, C]; optional fused
-    y = silu(x * scale + shift) prologue (scale/shift broadcastable)."""
+    """[B, H, W, C] -> [B, H/2+1, W/2+1, 4*C]; channel group 2i+j =
+    pad(x,1)[i::2, j::2]. Optional fused y = silu(x*scale + shift) prologue."""
     if scale is not None:
         x = x * scale
     if shift is not None:
         x = x + shift
     if silu:
         x = jax.nn.silu(x)
+    b, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    rows = [
-        jnp.stack([xp[:, i::2, j::2, :] for j in range(2)], axis=1)
-        for i in range(2)
-    ]
-    return jnp.stack(rows, axis=1)  # [B, 2, 2, H/2+1, W/2+1, C]
+    # reshape/transpose form (one relayout) rather than 4 strided slices
+    xp = xp.reshape(b, h // 2 + 1, 2, w // 2 + 1, 2, c)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5)  # [B, TH+1, TW+1, 2(i), 2(j), C]
+    return xp.reshape(b, h // 2 + 1, w // 2 + 1, 4 * c)
 
 
 def polyphase_reassemble(y, batch: int):
-    """[B*S, 2, 2, THb, TW, Co] -> [B, 2*S*THb, 2*TW, Co]."""
-    bs, _, _, thb, tw, co = y.shape
-    s = bs // batch
-    # [B, S, THb, 2(p), TW, 2(q), Co] -> [B, H, W, Co]
-    y = y.reshape(batch, s, 2, 2, thb, tw, co).transpose(0, 1, 4, 2, 5, 3, 6)
+    """[B*S, THb, TW, 4*Co] -> [B, 2*S*THb, 2*TW, Co] (group 2p+q holds
+    output pixels (2ty+p, 2tx+q))."""
+    bs, thb, tw, co4 = y.shape
+    s, co = bs // batch, co4 // 4
+    y = y.reshape(batch, s * thb, tw, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(batch, 2 * s * thb, 2 * tw, co)
 
 
-def _row_split(th: int, tw: int) -> int:
-    """Number of tile-row slabs so each program holds <= _MAX_TILES tiles."""
+def _row_split(th: int, tw: int, ci: int = 128, co: int = 128) -> int:
+    """Number of tile-row slabs so each program fits the VMEM tile budget."""
+    cap = _max_tiles(ci, co)
     s = 1
-    while th % (2 * s) == 0 and (th // s) * tw > _MAX_TILES:
+    while th % (2 * s) == 0 and (th // s) * tw > cap:
         s *= 2
     return s
 
@@ -75,14 +85,15 @@ def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co, out_dtype):
     """One (batch item x row slab): Winograd transform + 16 matmuls +
     inverse transform, fully in VMEM.
 
-    phases_ref: [1, 2, 2, TH+1, TW+1, Ci]
+    phases_ref: [1, TH+1, TW+1, 4*Ci]
     u_ref:      [16, Ci, Co]  (G w G^T, positions flattened row-major)
-    out_ref:    [1, 2, 2, TH, TW, Co]  (polyphase output)
+    out_ref:    [1, TH, TW, 4*Co]  (channel-major polyphase output)
     """
-    # d_ij(ty,tx) = xp[2ty+i, 2tx+j] = phases[i%2, j%2][ty + i//2, tx + j//2]
+    # d_ij(ty,tx) = xp[2ty+i, 2tx+j] = group[2*(i%2)+(j%2)][ty+i//2, tx+j//2]
     def d(i, j):
-        return phases_ref[0, i % 2, j % 2, i // 2 : i // 2 + th,
-                          j // 2 : j // 2 + tw, :].astype(jnp.float32)
+        g = 2 * (i % 2) + (j % 2)
+        return phases_ref[0, i // 2 : i // 2 + th, j // 2 : j // 2 + tw,
+                          g * ci : (g + 1) * ci].astype(jnp.float32)
 
     # BT rows: (d0 - d2), (d1 + d2), (d2 - d1), (d1 - d3)
     def bt_row(a, j):
@@ -106,20 +117,21 @@ def _winograd_kernel(phases_ref, u_ref, out_ref, *, th, tw, ci, co, out_dtype):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m_acc.append(m)  # [TH*TW, Co] fp32
+            m_acc.append(m.astype(jnp.bfloat16))  # [TH*TW, Co]
 
     # inverse transform Y_pq = sum_ab AT[p,a] AT[q,b] M_ab
     # AT rows: (m0 + m1 + m2), (m1 - m2 - m3)
     def mrow(p, b):
-        i = lambda a: m_acc[a * 4 + b]
+        i = lambda a: m_acc[a * 4 + b].astype(jnp.float32)
         return (i(0) + i(1) + i(2)) if p == 0 else (i(1) - i(2) - i(3))
 
     for p in range(2):
         rb = [mrow(p, b) for b in range(4)]
         y0 = rb[0] + rb[1] + rb[2]
         y1 = rb[1] - rb[2] - rb[3]
-        out_ref[0, p, 0] = y0.reshape(th, tw, co).astype(out_dtype)
-        out_ref[0, p, 1] = y1.reshape(th, tw, co).astype(out_dtype)
+        g0, g1 = 2 * p, 2 * p + 1
+        out_ref[0, :, :, g0 * co : (g0 + 1) * co] = y0.reshape(th, tw, co).astype(out_dtype)
+        out_ref[0, :, :, g1 * co : (g1 + 1) * co] = y1.reshape(th, tw, co).astype(out_dtype)
 
 
 def winograd_conv3x3(
@@ -139,15 +151,14 @@ def winograd_conv3x3(
     phases = polyphase_decompose(x, scale, shift, silu).astype(jnp.bfloat16)
     u = transform_kernel(w).reshape(16, ci, co).astype(jnp.bfloat16)
 
-    s = _row_split(th, tw)
+    s = _row_split(th, tw, ci, co)
     thb = th // s
     if s > 1:
         # row slabs with a duplicated one-row halo, folded into the grid dim
         phases = jnp.concatenate(
-            [phases[:, :, :, k * thb : k * thb + thb + 1] for k in range(s)],
-            axis=0,
-        ).reshape(s, b, 2, 2, thb + 1, tw + 1, ci).transpose(1, 0, 2, 3, 4, 5, 6
-        ).reshape(b * s, 2, 2, thb + 1, tw + 1, ci)
+            [phases[:, k * thb : k * thb + thb + 1] for k in range(s)], axis=0
+        ).reshape(s, b, thb + 1, tw + 1, 4 * ci).transpose(1, 0, 2, 3, 4
+        ).reshape(b * s, thb + 1, tw + 1, 4 * ci)
 
     out = pl.pallas_call(
         functools.partial(
@@ -155,15 +166,11 @@ def winograd_conv3x3(
         ),
         grid=(b * s,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 2, 2, thb + 1, tw + 1, ci), lambda i: (i, 0, 0, 0, 0, 0)
-            ),
+            pl.BlockSpec((1, thb + 1, tw + 1, 4 * ci), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((16, ci, co), lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2, 2, thb, tw, co), lambda i: (i, 0, 0, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * s, 2, 2, thb, tw, co), x.dtype),
+        out_specs=pl.BlockSpec((1, thb, tw, 4 * co), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * s, thb, tw, 4 * co), x.dtype),
         interpret=interpret,
     )(phases, u)
     return polyphase_reassemble(out, b)

@@ -30,6 +30,24 @@ TP_RULES_TRANSFORMER: Tuple[Tuple[str, int], ...] = (
     (r"mlp/Dense_1/kernel$", 0),
 )
 
+# Conv-UNet rules (the flagship SC09 backbone, models/unet2d.py). Each
+# ResnetBlock is the megatron pair: Block_0's 3x3 conv column-parallel
+# (HWIO dim 3 = Cout sharded), Block_1's row-parallel (dim 2 = Cin sharded,
+# all-reduce after). Between them, Block_1's GroupNorm runs on the sharded
+# channels (groups are whole per shard when groups % tp == 0, so stats stay
+# local) with its per-channel scale/bias sharded to match; Block_0's conv
+# bias is per-Cout likewise. The imagen FeedForward is the standard MLP pair
+# with its inner g-only LayerNorm sharded over the hidden dim.
+TP_RULES_UNET: Tuple[Tuple[str, int], ...] = TP_RULES_TRANSFORMER + (
+    (r"Block_0/Conv_0/kernel$", 3),
+    (r"Block_0/Conv_0/bias$", 0),
+    (r"Block_1/GroupNorm_0/(scale|bias)$", 0),
+    (r"Block_1/Conv_0/kernel$", 2),
+    (r"FeedForward_0/Dense_0/kernel$", 1),
+    (r"FeedForward_0/ImagenLayerNorm_1/g$", 0),
+    (r"FeedForward_0/Dense_1/kernel$", 0),
+)
+
 
 def _path_str(path) -> str:
     parts = []

@@ -229,12 +229,14 @@ class Trainer:
         if self.param_sharding == "fsdp" and self.mesh.devices.size > 1:
             return shard_params_fsdp(self.mesh, state, min_size=self.fsdp_min_size)
         if self.param_sharding == "tp" and self.mesh.devices.size > 1:
-            from ..parallel.tensor_parallel import tp_shardings
+            from ..parallel.tensor_parallel import TP_RULES_UNET, tp_shardings
 
             # path-suffix rules also catch the params-shaped optimizer/EMA
-            # subtrees (mu/nu mirror the param names), keeping them aligned
+            # subtrees (mu/nu mirror the param names), keeping them aligned.
+            # TP_RULES_UNET is a superset of the transformer rules, so both
+            # the conv UNet and attention backbones shard.
             return jax.tree.map(
-                jax.device_put, state, tp_shardings(self.mesh, state)
+                jax.device_put, state, tp_shardings(self.mesh, state, TP_RULES_UNET)
             )
         return replicate(self.mesh, state)
 

@@ -27,7 +27,7 @@ from audiodiffuser_tpu.ops.winograd_pallas import polyphase_decompose
 
 B, H, W, CI, CO = 64, 128, 64, 128, 128
 TH, TWD = H // 2, W // 2
-S = 4  # row split -> 512 tiles per program
+S = int(__import__("os").environ.get("WINO_S", 4))  # row split
 THB = TH // S
 REPS = 4
 
@@ -59,7 +59,10 @@ def make_kernel(mode):
                 return d(2, j) - d(1, j)
             return d(1, j) - d(3, j)
 
-        if mode == "matmul_only":
+        if mode == "copy_only":
+            m_acc = [phases_ref[0, 0, 0, :th, :tw, :].reshape(th * tw, ci).astype(jnp.float32)
+                     for _ in range(16)]
+        elif mode == "matmul_only":
             vm0 = phases_ref[0, 0, 0, :th, :tw, :].reshape(th * tw, ci)
             m_acc = [
                 jax.lax.dot_general(vm0, u_ref[p], (((1,), (0,)), ((), ())),
@@ -74,7 +77,7 @@ def make_kernel(mode):
                     vs.append(v.reshape(th * tw, ci).astype(jnp.bfloat16))
             vstack = jnp.stack(vs)  # [16, tiles, ci]
             m = jax.lax.dot_general(
-                vstack, u_ref, (((2,), (1,)), ((0,), (0,))),
+                vstack, u_ref[...], (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             m_acc = [m[p] for p in range(16)]
         else:  # full / transform_only
@@ -89,7 +92,7 @@ def make_kernel(mode):
                     else:
                         m_acc.append(jax.lax.dot_general(
                             vm, u_ref[a * 4 + b], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+                            preferred_element_type=jnp.float32).astype(jnp.bfloat16).astype(jnp.float32))
 
         def mrow(p, b):
             i = lambda a: m_acc[a * 4 + b]

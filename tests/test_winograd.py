@@ -33,14 +33,14 @@ def test_xla_winograd_exact_fp32():
 def test_polyphase_roundtrip():
     x = jax.random.normal(jax.random.key(2), (3, 8, 4, 16))
     phases = polyphase_decompose(x)
-    assert phases.shape == (3, 2, 2, 5, 3, 16)
-    # interior of each phase plane reproduces x's polyphase components
-    # (pad 1 shifts parities: phases[i,j][m,n] = xp[2m+i, 2n+j] = x[2m+i-1, 2n+j-1])
-    np.testing.assert_array_equal(phases[:, 0, 0, 1:, 1:], x[:, 1::2, 1::2])
-    np.testing.assert_array_equal(phases[:, 1, 1, :-1, :-1], x[:, 0::2, 0::2])
-    # reassemble inverts a tile-space [B,2,2,th,tw,C] layout
-    y = jnp.stack(
-        [jnp.stack([x[:, p::2, q::2] for q in range(2)], 1) for p in range(2)], 1
+    assert phases.shape == (3, 5, 3, 4 * 16)
+    # channel group 2i+j holds pad(x,1)[i::2, j::2]; pad shifts parities:
+    # group[m,n] = xp[2m+i, 2n+j] = x[2m+i-1, 2n+j-1]
+    np.testing.assert_array_equal(phases[:, 1:, 1:, :16], x[:, 1::2, 1::2])
+    np.testing.assert_array_equal(phases[:, :-1, :-1, 48:], x[:, 0::2, 0::2])
+    # reassemble inverts a [B, th, tw, 4C] channel-major tile layout
+    y = jnp.concatenate(
+        [x[:, p::2, q::2] for p in range(2) for q in range(2)], axis=-1
     )
     np.testing.assert_array_equal(polyphase_reassemble(y, 3), x)
 
@@ -58,10 +58,10 @@ def test_pallas_winograd_matches_conv(shape):
 
 
 def test_pallas_winograd_row_split(monkeypatch):
-    monkeypatch.setattr(wp, "_MAX_TILES", 8)
+    monkeypatch.setenv("ADT_WINO_MAX_TILES", "8")
     x = jax.random.normal(jax.random.key(5), (2, 16, 8, 64))
     w = jax.random.normal(jax.random.key(6), (3, 3, 64, 64)) * 0.05
-    assert wp._row_split(8, 4) > 1
+    assert wp._row_split(8, 4, 64, 64) > 1
     got = winograd_conv3x3(x, w, interpret=True)
     ref = conv_ref(x, w)
     tol = 8e-3 * float(jnp.abs(ref).max())
