@@ -193,8 +193,54 @@ class LearnedSinusoidalPosEmb(nn.Module):
         return jnp.concatenate([t[:, None], jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 
+def _winograd_dispatch(x_shape, dim_out: int) -> bool:
+    """Route the Block's SiLU+3x3 conv through the fused Winograd Pallas
+    kernel on TPU at eligible shapes (ops/winograd_pallas.winograd_eligible)."""
+    from ..ops.winograd_pallas import winograd_eligible
+
+    import os
+
+    if jax.devices()[0].platform not in ("tpu", "axon") and not (
+        os.environ.get("ADT_WINO_INTERPRET") == "1"
+    ):
+        return False
+    w_shape = (3, 3, x_shape[-1], dim_out)
+    return winograd_eligible(x_shape, w_shape, (1, 1), "SAME")
+
+
+class _FusedBlockConv(nn.Module):
+    """3x3 SAME conv with nn.Conv-compatible params (kernel/bias names,
+    HWIO layout, lecun-normal init) whose forward runs the fused
+    scale/shift+SiLU Winograd Pallas kernel. Gradients fall back to the
+    standard XLA conv VJP (ops/winograd_pallas.fused_scale_shift_silu_conv3x3)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None):
+        from ..ops.winograd_pallas import fused_scale_shift_silu_conv3x3
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        y = fused_scale_shift_silu_conv3x3(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            None if scale is None else scale.astype(self.dtype),
+            None if shift is None else shift.astype(self.dtype),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Block(nn.Module):
-    """GroupNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv (reference :83-104)."""
+    """GroupNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv (reference :83-104).
+
+    On TPU, eligible shapes run SiLU+conv as one fused Winograd Pallas kernel
+    (2.25x fewer MXU multiplies; parameter layout identical to nn.Conv)."""
 
     dim_out: int
     groups: int = 8
@@ -205,9 +251,16 @@ class Block(nn.Module):
     def __call__(self, x, scale_shift: Optional[Tuple] = None):
         if self.norm:
             x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        scale = shift = None
         if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
+            s, t = scale_shift
+            scale, shift = s + 1.0, t
+        if _winograd_dispatch(x.shape, self.dim_out):
+            return _FusedBlockConv(self.dim_out, dtype=self.dtype, name="Conv_0")(
+                x, scale, shift
+            )
+        if scale is not None:
+            x = x * scale + shift
         x = nn.silu(x)
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 

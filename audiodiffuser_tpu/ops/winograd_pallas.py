@@ -145,6 +145,7 @@ def winograd_conv3x3(
 ) -> jnp.ndarray:
     """Fused [silu((x*scale)+shift)] -> 3x3 SAME conv, via the Pallas
     Winograd kernel. x: [B, H, W, Cin] (H, W even), w: [3, 3, Cin, Cout]."""
+    interpret = interpret or os.environ.get("ADT_WINO_INTERPRET") == "1"
     b, h, wd, ci = x.shape
     co = w.shape[-1]
     th, tw = h // 2, wd // 2
@@ -176,10 +177,57 @@ def winograd_conv3x3(
     return polyphase_reassemble(out, b)
 
 
+def _ref_fused(x, w, scale, shift):
+    """XLA reference of the fused op: silu(x*scale + shift) -> 3x3 SAME conv.
+    Used for the backward pass (XLA DCEs the unused forward conv, leaving the
+    standard dX/dW conv gradients plus the elementwise recompute)."""
+    y = x
+    if scale is not None:
+        y = y * scale
+    if shift is not None:
+        y = y + shift
+    y = jax.nn.silu(y)
+    return jax.lax.conv_general_dilated(
+        y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_scale_shift_silu_conv3x3(x, w, scale, shift):
+    """Fused ``silu(x*scale + shift) -> conv3x3(w)`` via the Pallas Winograd
+    kernel (forward) with standard XLA conv gradients (backward). scale/shift
+    broadcast against x (e.g. [B,1,1,C] FiLM rows) and may be None."""
+    return winograd_conv3x3(x, w, scale=scale, shift=shift, silu=True)
+
+
+def _fused_fwd(x, w, scale, shift):
+    return fused_scale_shift_silu_conv3x3(x, w, scale, shift), (x, w, scale, shift)
+
+
+def _fused_bwd(res, g):
+    x, w, scale, shift = res
+    _, vjp = jax.vjp(_ref_fused, x, w, scale, shift)
+    return vjp(g)
+
+
+fused_scale_shift_silu_conv3x3.defvjp(_fused_fwd, _fused_bwd)
+
+
 def winograd_eligible(x_shape, w_shape, stride, padding) -> bool:
     """The kernel handles stride-1 SAME 3x3 with even H, W and real channel
-    counts (transform overhead dominates below 64 channels)."""
-    if os.environ.get("ADT_WINOGRAD", "1") == "0":
+    counts (transform overhead dominates below 64 channels).
+
+    Opt-in (``ADT_WINOGRAD=1``): measured on the v5e at the flagship UNet
+    Block shapes (scripts/microbench_winograd.py, 2026-08-16), the fused
+    kernel reaches only 0.45-1.03x of XLA's implicit-GEMM conv (26-43 vs
+    50-67 TF/s) — the polyphase HBM round-trips outweigh the 2.25x multiply
+    reduction at these sizes. Kept as infrastructure for larger feature maps.
+    ``ADT_WINO_INTERPRET=1`` (interpret-mode tests) also enables dispatch."""
+    flag = os.environ.get("ADT_WINOGRAD")
+    if flag == "0":
+        return False
+    if flag != "1" and os.environ.get("ADT_WINO_INTERPRET") != "1":
         return False
     b, h, wd, ci = x_shape
     kh, kw, _, co = w_shape

@@ -81,9 +81,55 @@ def test_pallas_winograd_fused_prologue():
 
 def test_eligibility_gate(monkeypatch):
     ok = ((4, 16, 8, 128), (3, 3, 128, 128))
+    # opt-in: measured slower than XLA conv at flagship shapes (docstring)
+    assert not winograd_eligible(ok[0], ok[1], (1, 1), "SAME")
+    monkeypatch.setenv("ADT_WINOGRAD", "1")
     assert winograd_eligible(ok[0], ok[1], (1, 1), "SAME")
     assert not winograd_eligible((4, 15, 8, 128), (3, 3, 128, 128), (1, 1), "SAME")
     assert not winograd_eligible(ok[0], (3, 3, 128, 128), (2, 2), "SAME")
     assert not winograd_eligible((4, 16, 8, 2), (3, 3, 2, 128), (1, 1), "SAME")
     monkeypatch.setenv("ADT_WINOGRAD", "0")
     assert not winograd_eligible(ok[0], ok[1], (1, 1), "SAME")
+
+
+def test_block_winograd_wiring(monkeypatch):
+    """models.layers.Block routes eligible shapes through the fused kernel
+    with nn.Conv-identical params and matching outputs/grads."""
+    from audiodiffuser_tpu.models.layers import Block
+
+    x = jax.random.normal(jax.random.key(11), (2, 8, 8, 64))
+    ss = (jnp.full((2, 1, 1, 64), 0.3), jnp.full((2, 1, 1, 64), -0.1))
+    blk = Block(64, groups=8)
+
+    monkeypatch.setenv("ADT_WINO_INTERPRET", "0")
+    params = blk.init(jax.random.key(12), x)
+    y_plain = blk.apply(params, x, scale_shift=ss)
+
+    monkeypatch.setenv("ADT_WINO_INTERPRET", "1")
+    params_w = blk.init(jax.random.key(12), x)
+    # identical parameter structure and init values either way
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_w
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_w)
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    y_wino = blk.apply(params, x, scale_shift=ss)
+    # winograd transforms amplify bf16 rounding ~3x vs a direct bf16 conv
+    tol = 3e-2 * float(jnp.abs(y_plain).max())
+    assert float(jnp.abs(y_plain - y_wino).max()) < tol
+
+    def loss(p):
+        return jnp.sum(blk.apply(p, x, scale_shift=ss) ** 2)
+
+    g_wino = jax.grad(loss)(params)
+    monkeypatch.setenv("ADT_WINO_INTERPRET", "0")
+    g_plain = jax.grad(loss)(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_wino), jax.tree_util.tree_leaves(g_plain)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # forward bf16 error propagates into dL/dy; compare at the grad scale
+        assert np.abs(a - b).max() < 3e-2 * max(np.abs(b).max(), 1.0)
