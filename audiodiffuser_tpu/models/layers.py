@@ -147,26 +147,28 @@ def _pixel_shuffle_init(key, shape, dtype=jnp.float32):
 
 
 class PixelShuffleUpsample(nn.Module):
-    """1x1 conv to 4x channels, SiLU, depth-to-space (reference :27-55)."""
+    """1x1 conv to 4x channels, SiLU, depth-to-space (reference :27-55).
+
+    Evaluated as ONE 2x2 stride-2 transposed conv + per-subpixel bias + SiLU:
+    identical math (SiLU commutes with the pixel-shuffle permutation), but no
+    materialized depth-to-space transpose — on the v5e the old formulation's
+    transpose+mul was the #2 HBM consumer of the whole sampling profile.
+    Parameter layout is unchanged (Conv_0/{kernel [1,1,C,4*dim_out], bias})."""
 
     dim_out: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, _ = x.shape
-        x = nn.Conv(
-            self.dim_out * 4, (1, 1), kernel_init=_pixel_shuffle_init, dtype=self.dtype
+        return _PixelShuffleConv(
+            dim_out=self.dim_out, dtype=self.dtype, name="Conv_0"
         )(x)
-        x = nn.silu(x)
-        # channel (c i j) -> spatial (h i) (w j)
-        x = x.reshape(b, h, w, self.dim_out, 2, 2)
-        x = x.transpose(0, 1, 4, 2, 5, 3)
-        return x.reshape(b, h * 2, w * 2, self.dim_out)
 
 
-class Downsample(nn.Module):
-    """Space-to-depth ('pixel unshuffle') + 1x1 conv (reference :57-64)."""
+class _PixelShuffleConv(nn.Module):
+    """Param-compatible core of Upsample: holds the [1,1,C,4*dim_out] kernel
+    of the original 1x1 conv and applies it as a flipped 2x2 lhs-dilated conv
+    (= transposed conv), then per-subpixel bias + SiLU."""
 
     dim_out: int
     dtype: Dtype = jnp.float32
@@ -174,10 +176,74 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4)
-        x = x.reshape(b, h // 2, w // 2, c * 4)
-        return nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        d = self.dim_out
+        kernel = self.param(
+            "kernel", _pixel_shuffle_init, (1, 1, c, 4 * d)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (4 * d,))
+        # out[2y+i, 2x+j, d] = sum_c x[y,x,c] * W[c, d*4+i*2+j]  (shuffle of
+        # the 1x1 conv). As lhs-dilated conv the kernel is spatially flipped.
+        k = kernel.reshape(c, d, 2, 2).transpose(2, 3, 0, 1)[::-1, ::-1]
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # bias varies per (i, j) subpixel: pure-reshape broadcast (no copy)
+        bias_ij = bias.reshape(d, 2, 2).transpose(1, 2, 0).astype(self.dtype)
+        out = out.reshape(b, h, 2, w, 2, d)
+        out = out + bias_ij[None, :, None, :, :][None]
+        out = nn.silu(out)
+        return out.reshape(b, 2 * h, 2 * w, d)
+
+
+class Downsample(nn.Module):
+    """Space-to-depth ('pixel unshuffle') + 1x1 conv (reference :57-64).
+
+    Evaluated as ONE 2x2 stride-2 conv: identical math, but no materialized
+    space-to-depth transpose (the #1 HBM consumer in the v5e sampling
+    profile). Parameter layout is unchanged (Conv_0/{kernel [1,1,4C,dim_out],
+    bias})."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return _SpaceToDepthConv(
+            dim_out=self.dim_out, dtype=self.dtype, name="Conv_0"
+        )(x)
+
+
+class _SpaceToDepthConv(nn.Module):
+    """Param-compatible core of Downsample: holds the [1,1,4C,dim_out] kernel
+    of the original 1x1 conv and applies it as a 2x2 stride-2 conv."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, 4 * c, self.dim_out)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.dim_out,)
+        )
+        # space-to-depth channel m = c*4 + i*2 + j  ->  kernel [2,2,C,out]
+        k = kernel.reshape(c, 2, 2, self.dim_out).transpose(1, 2, 0, 3)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
 
 
 class LearnedSinusoidalPosEmb(nn.Module):
@@ -285,8 +351,33 @@ class GlobalContext(nn.Module):
         return jax.nn.sigmoid(out)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible kernel/bias params without applying them
+    (for modules that evaluate several branches as one fused conv)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class CrossEmbedLayer(nn.Module):
-    """Multi-kernel-size conv stem (reference :260-286)."""
+    """Multi-kernel-size conv stem (reference :260-286).
+
+    Evaluated as ONE conv: each branch kernel is zero-embedded at the centre
+    of a max-size kernel (identical math for the reference's aligned-padding
+    branches), so the input is read once instead of once per branch and the
+    per-branch bias adds + concat disappear — on the v5e profile the separate
+    15x15 stem conv + bias adds were ~7% of sampling time. Parameter layout
+    is unchanged (Conv_0..Conv_n with per-branch shapes)."""
 
     dim_out: int
     kernel_sizes: Sequence[int]
@@ -299,19 +390,34 @@ class CrossEmbedLayer(nn.Module):
         num_scales = len(kernel_sizes)
         dim_scales = [self.dim_out // (2**i) for i in range(1, num_scales)]
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
-        fmaps = []
-        for kernel, dim_scale in zip(kernel_sizes, dim_scales):
-            pad = (kernel - self.stride) // 2
-            fmaps.append(
-                nn.Conv(
-                    dim_scale,
-                    (kernel, kernel),
-                    strides=self.stride,
-                    padding=[(pad, pad), (pad, pad)],
-                    dtype=self.dtype,
-                )(x)
-            )
-        return jnp.concatenate(fmaps, axis=-1)
+        cin = x.shape[-1]
+        k_max = kernel_sizes[-1]
+        pad_max = (k_max - self.stride) // 2
+
+        fused = jnp.zeros((k_max, k_max, cin, self.dim_out), jnp.float32)
+        biases = []
+        start = 0
+        for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
+            kern, bias = _ConvParams(
+                features=dim_scale, kernel_size=kernel, name=f"Conv_{i}"
+            )(cin)
+            # branch output o taps x[o*s - pad_i + t]; embedding at offset
+            # pad_max - pad_i inside the max window reproduces them exactly
+            off = pad_max - (kernel - self.stride) // 2
+            fused = fused.at[
+                off : off + kernel, off : off + kernel, :, start : start + dim_scale
+            ].set(kern.astype(jnp.float32))
+            biases.append(bias)
+            start += dim_scale
+        bias = jnp.concatenate(biases)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            fused.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(pad_max, pad_max), (pad_max, pad_max)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
 
 
 def resize_image_to(image: jnp.ndarray, target_size: int) -> jnp.ndarray:

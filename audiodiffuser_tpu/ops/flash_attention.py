@@ -1,27 +1,36 @@
-"""Fused flash-attention Pallas TPU kernel.
+"""Fused flash-attention Pallas TPU kernels (forward + backward).
 
 The reference's hottest op is the attention einsum+softmax
 (``src/models/backbones/attention_utils.py:169-182``,
 ``unet2d_oai.py:344-380``), which materialises the [N, N] score matrix in
-HBM. This kernel computes softmax(QK^T/s)V block-by-block in VMEM with the
-online-softmax recurrence, so HBM traffic is O(N*D) instead of O(N^2):
+HBM. These kernels compute softmax(QK^T/s)V and its gradients block-by-block
+in VMEM with the online-softmax recurrence, so HBM traffic is O(N*D) instead
+of O(N^2):
 
-- grid over (batch*heads, query blocks); K/V live in VMEM per program and
-  are walked in blocks with ``jax.lax.fori_loop``;
-- the score block runs on the MXU (``preferred_element_type=float32``),
-  the softmax bookkeeping on the VPU in fp32;
-- backward pass recomputes attention with the XLA formulation via
-  ``jax.custom_vjp`` (standard recompute strategy — forward memory win,
-  no custom bwd kernel needed).
+- **forward**: grid (batch*heads, q-blocks, k-blocks); K/V are *streamed*
+  from HBM one block per grid step (no VMEM-residency cap on sequence
+  length), the softmax statistics live in VMEM scratch that carries across
+  the innermost k-block loop, and the kernel also emits the logsumexp rows
+  needed by the backward.
+- **backward**: two kernels in the FlashAttention-2 style. ``dq``: grid
+  (BH, q-blocks, k-blocks) accumulating dQ in scratch; ``dkv``: grid
+  (BH, k-blocks, q-blocks) accumulating dK/dV. Both recompute the
+  probability block as exp(s - lse) from the saved logsumexp — no N x N
+  matrix ever hits HBM in either direction.
+- score blocks run on the MXU (``preferred_element_type=float32``), softmax
+  bookkeeping on the VPU in fp32.
 
 ``attention_core_auto`` drops into ``models.attention.Attention`` (its
-``attention_core`` hook) and dispatches: Pallas kernel on TPU for unmasked
-sequences with compatible tiling, XLA einsum otherwise.
+``attention_core`` hook) and dispatches: Pallas kernel on TPU for sequences
+with compatible tiling, XLA einsum otherwise. Masked (text-KV concat) inputs
+ride the kernel via an additive per-key bias row; the bias cotangent is
+defined as zero (masks are boolean, non-differentiable sources).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,49 +42,55 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, *rest, scale: float, block_k: int, masked: bool
-):
-    """One (batch*head, q-block) program: online softmax over K blocks.
+def _default_interpret() -> bool:
+    """Pallas interpret mode off-TPU, so the custom_vjp path (fwd + bwd
+    kernels) is exercisable on CPU tests."""
+    return jax.devices()[0].platform not in ("tpu", "axon")
 
-    With ``masked``, an extra [1, n_k] additive-bias row (0 for valid keys,
-    -inf for masked ones) precedes the output ref.
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, *rest, scale: float, num_kb: int, masked: bool
+):
+    """One (bh, q-block, k-block) step of the streaming online softmax.
+
+    Scratch (m, l, acc) carries across the innermost k-block loop; on the
+    final k block the normalised output and logsumexp rows are emitted.
     """
     if masked:
-        bias_ref, o_ref = rest
+        bias_ref, o_ref, lse_ref, m_s, l_s, acc_s = rest
     else:
-        (o_ref,) = rest
+        o_ref, lse_ref, m_s, l_s, acc_s = rest
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, -jnp.inf)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
     q = q_ref[0].astype(jnp.float32) * scale  # [blk_q, d]
-    n_k = k_ref.shape[1]
-    num_kb = n_k // block_k
-    blk_q = q.shape[0]
-    d = q.shape[1]
+    k = k_ref[0].astype(jnp.float32)  # [blk_k, d]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [blk_q, blk_k]
+    if masked:
+        s = s + bias_ref[0][None, :]
+    m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_s[...], l_s[...], acc_s[...] = m_new, l_new, acc
 
-    m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((blk_q, 1), jnp.float32)
-    acc0 = jnp.zeros((blk_q, d), jnp.float32)
-
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [blk_q, blk_k]
-        if masked:
-            s = s + bias_ref[0, pl.ds(kb * block_k, block_k)][None, :]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _emit():
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
+        lse_ref[0] = (m_new + jnp.log(l_new))[:, 0]
 
 
 def _flash_forward(
@@ -87,40 +102,199 @@ def _flash_forward(
     block_k: int,
     bias: Optional[jnp.ndarray] = None,  # [B, n_k] additive key bias
     heads: int = 1,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """q,k,v: [BH, N, D] (q may have different N than k/v)."""
+    interpret: Optional[bool] = None,
+):
+    """q,k,v: [BH, N, D] (q may have different N than k/v). Returns (o, lse)."""
+    if interpret is None:
+        interpret = _default_interpret()
     bh, n_q, d = q.shape
     n_k = k.shape[1]
+    num_kb = n_k // block_k
 
     masked = bias is not None
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, masked=masked
+        _fwd_kernel, scale=scale, num_kb=num_kb, masked=masked
     )
-    grid = (bh, n_q // block_q)
+    grid = (bh, n_q // block_q, num_kb)
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
     ]
     args = [q, k, v]
     if masked:
         in_specs.append(
-            pl.BlockSpec(
-                (1, n_k), lambda b, i: (b // heads, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((1, block_k), lambda b, i, j: (b // heads, j))
         )
         args.append(bias)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, n_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, *rest,
+    scale: float, num_kb: int, masked: bool,
+):
+    """dQ accumulation: ds = p * (dO V^T - D); dQ += scale * ds K."""
+    if masked:
+        bias_ref, dq_ref, dq_s = rest
+    else:
+        dq_ref, dq_s = rest
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if masked:
+        s = s + bias_ref[0][None, :]
+    p = jnp.exp(s - lse_ref[0][:, None])  # [blk_q, blk_k]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dl_ref[0][:, None])
+    dq_s[...] += scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kb == num_kb - 1)
+    def _emit():
+        dq_ref[0] = dq_s[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, *rest,
+    scale: float, num_qb: int, masked: bool,
+):
+    """dK/dV accumulation over q blocks: dV += p^T dO; dK += scale * ds^T Q."""
+    if masked:
+        bias_ref, dk_ref, dv_ref, dk_s, dv_s = rest
+    else:
+        dk_ref, dv_ref, dk_s, dv_s = rest
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if masked:
+        s = s + bias_ref[0][None, :]
+    p = jnp.exp(s - lse_ref[0][:, None])  # [blk_q, blk_k]
+    dv_s[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dl_ref[0][:, None])
+    dk_s[...] += scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qb == num_qb - 1)
+    def _emit():
+        dk_ref[0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, do, o, lse, bias, scale, block_q, block_k, heads, interpret=None
+):
+    if interpret is None:
+        interpret = _default_interpret()
+    bh, n_q, d = q.shape
+    n_k = k.shape[1]
+    num_qb, num_kb = n_q // block_q, n_k // block_k
+    masked = bias is not None
+    # D rows: rowsum(dO * O) — one cheap fused elementwise+reduce in XLA
+    dl = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    rowspec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i))
+    in_specs = [qspec, kspec, kspec, qspec, rowspec, rowspec]
+    args = [q, k, v, do, lse, dl]
+    if masked:
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda b, i, j: (b // heads, j))
+        )
+        args.append(bias)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, num_kb=num_kb, masked=masked
+        ),
+        grid=(bh, num_qb, num_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+    # dk/dv: k-blocks outer, q-blocks inner
+    qspec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
+    kspec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
+    rowspec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i))
+    in_specs2 = [qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2]
+    args2 = [q, k, v, do, lse, dl]
+    if masked:
+        in_specs2.append(
+            pl.BlockSpec((1, block_k), lambda b, j, i: (b // heads, j))
+        )
+        args2.append(bias)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, num_qb=num_qb, masked=masked
+        ),
+        grid=(bh, num_kb, num_qb),
+        in_specs=in_specs2,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args2)
+    return dq, dk, dv
 
 
 def _sdpa_reference(q, k, v, bias, scale, heads):
@@ -133,25 +307,24 @@ def _sdpa_reference(q, k, v, bias, scale, heads):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, bias, scale, block_q, block_k, heads):
-    return _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
+    o, _ = _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
+    return o
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, heads):
-    out = _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
-    return out, (q, k, v, bias)
+    o, lse = _flash_forward(q, k, v, scale, block_q, block_k, bias, heads)
+    return o, (q, k, v, bias, o, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, heads, res, g):
-    q, k, v, bias = res
-    if bias is None:
-        _, vjp = jax.vjp(
-            lambda q, k, v: _sdpa_reference(q, k, v, None, scale, heads), q, k, v
-        )
-        return (*vjp(g), None)
-    _, vjp = jax.vjp(
-        lambda q, k, v, b: _sdpa_reference(q, k, v, b, scale, heads), q, k, v, bias
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, g, o, lse, bias, scale, block_q, block_k, heads
     )
-    return vjp(g)
+    # bias originates from boolean masks (non-differentiable sources); its
+    # cotangent is never consumed, so it is defined as zero
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -182,8 +355,6 @@ def flash_attention(
 
 
 def _flash_compatible(q, k, mask) -> bool:
-    import os
-
     # Dispatch policy, measured on v5e: XLA attention wins slightly below
     # ~4k tokens (5.6 vs 6.3 ms at N=2048) but collapses at long sequences
     # (911 vs 53 ms at N=8192 — 17x for the flash kernel, which never
@@ -204,9 +375,6 @@ def _flash_compatible(q, k, mask) -> bool:
         return False
     if d % 128 and d not in (32, 64):
         return False
-    # VMEM budget: K and V resident per program
-    if 2 * n_k * d * 4 > 8 * 1024 * 1024:
-        return False
     return True
 
 
@@ -223,7 +391,7 @@ def attention_core_auto(q, k, v, mask=None, scale=1.0):
     if (
         mask is not None
         and n_k % DEFAULT_BLOCK_K != 0
-        and q.shape[-2] >= int(__import__("os").environ.get("ADT_FLASH_MIN_SEQ", 4096))
+        and q.shape[-2] >= int(os.environ.get("ADT_FLASH_MIN_SEQ", 4096))
     ):
         pad = DEFAULT_BLOCK_K - n_k % DEFAULT_BLOCK_K
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -1,4 +1,6 @@
-"""Flash-attention kernel parity tests (interpret mode on CPU)."""
+"""Flash-attention kernel parity tests (interpret mode on CPU): streaming
+forward, logsumexp emission, and the fused FlashAttention-2-style backward
+kernels (dq / dkv) against XLA autodiff."""
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +17,7 @@ def _flash_interpret(q, k, v, scale, mask=None):
     bias = None
     if mask is not None:
         bias = jnp.where(mask.astype(bool), 0.0, -1e30).astype(jnp.float32)
-    out = fa._flash_forward(qf, kf, vf, scale, 128, 128, bias, h, interpret=True)
+    out, _ = fa._flash_forward(qf, kf, vf, scale, 128, 128, bias, h, interpret=True)
     return out.reshape(b, h, n, d)
 
 
@@ -30,6 +32,17 @@ def test_flash_matches_xla(n, d):
     expect = np.asarray(sdpa_xla(q, k, v, scale=scale))
     got = np.asarray(_flash_interpret(q, k, v, scale))
     np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_flash_lse_rows():
+    """The forward's logsumexp output matches the XLA computation."""
+    q = jax.random.normal(jax.random.key(9), (2, 256, 64))
+    k = jax.random.normal(jax.random.key(10), (2, 256, 64))
+    v = jax.random.normal(jax.random.key(11), (2, 256, 64))
+    _, lse = fa._flash_forward(q, k, v, 0.125, 128, 128, interpret=True)
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * 0.125
+    expect = jax.nn.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(expect), atol=2e-5)
 
 
 def test_flash_cross_attention_lengths():
@@ -65,22 +78,62 @@ def test_flash_masked_matches_xla():
     np.testing.assert_allclose(got, expect, atol=2e-5)
 
 
-def test_flash_custom_vjp_grads():
-    """Backward (XLA recompute) must match autodiff through the reference."""
-    q = jax.random.normal(jax.random.key(5), (4, 64, 32))
-    k = jax.random.normal(jax.random.key(6), (4, 64, 32))
-    v = jax.random.normal(jax.random.key(7), (4, 64, 32))
+@pytest.mark.parametrize("n_q,n_k,d", [(256, 256, 64), (128, 384, 32)])
+def test_flash_backward_kernels(n_q, n_k, d):
+    """dq/dkv Pallas kernels match autodiff through the XLA reference."""
+    q = jax.random.normal(jax.random.key(5), (2, n_q, d))
+    k = jax.random.normal(jax.random.key(6), (2, n_k, d))
+    v = jax.random.normal(jax.random.key(7), (2, n_k, d))
+    scale = d**-0.5
 
     def loss_ref(q, k, v):
-        return jnp.sum(fa._sdpa_reference(q, k, v, None, 0.25, 1) ** 2)
+        return jnp.sum(fa._sdpa_reference(q, k, v, None, scale, 1) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa._flash_attention(q, k, v, None, scale, 128, 128, 1) ** 2)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
-    # custom_vjp backward path, with the fwd swapped for interpret-mode
+
+def test_flash_backward_masked():
+    """Backward kernels with a per-key mask bias (text-KV concat shape)."""
+    heads = 2
+    q = jax.random.normal(jax.random.key(12), (2 * heads, 128, 32))
+    k = jax.random.normal(jax.random.key(13), (2 * heads, 256, 32))
+    v = jax.random.normal(jax.random.key(14), (2 * heads, 256, 32))
+    mask = jnp.arange(256)[None, :] < jnp.asarray([[240], [129]])
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa._sdpa_reference(q, k, v, bias, 0.2, heads) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            fa._flash_attention(q, k, v, bias, 0.2, 128, 128, heads) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
-    # the _flash_bwd function itself:
-    grads = fa._flash_bwd(0.25, 128, 128, 1, (q, k, v, None),
-                          2 * fa._sdpa_reference(q, k, v, None, 0.25, 1))
-    for a, b in zip(grads[:3], g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+def test_flash_full_api_grad_through_mask():
+    """jax.grad through flash_attention(mask=...) — the bias cotangent path."""
+    q = jax.random.normal(jax.random.key(15), (1, 2, 128, 32))
+    k = jax.random.normal(jax.random.key(16), (1, 2, 128, 32))
+    v = jax.random.normal(jax.random.key(17), (1, 2, 128, 32))
+    mask = jnp.ones((1, 128), dtype=bool)
+
+    def loss(q):
+        return jnp.sum(fa.flash_attention(q, k, v, mask=mask, scale=0.2) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(sdpa_xla(q, k, v, mask=mask, scale=0.2) ** 2)
+
+    g = jax.grad(loss)(q)
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=3e-4)

@@ -126,3 +126,96 @@ def test_imagen_layernorm_matches_torch_semantics():
     mean = torch.mean(tx, dim=-1, keepdim=True)
     expect = ((tx - mean) * (var + 1e-5).rsqrt()).numpy()  # g == 1 at init
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_downsample_single_conv_parity():
+    """Downsample = ONE 2x2 stride-2 conv, exactly the old
+    space-to-depth + 1x1 conv (profile: the transpose was the #1 HBM op)."""
+    from audiodiffuser_tpu.models.layers import Downsample
+
+    x = jax.random.normal(jax.random.key(40), (2, 8, 6, 5))
+    m = Downsample(7)
+    p = m.init(jax.random.key(41), x)
+    kern = p["params"]["Conv_0"]["kernel"]
+    bias = p["params"]["Conv_0"]["bias"]
+    assert kern.shape == (1, 1, 20, 7)  # unchanged checkpoint layout
+    b, h, w, c = x.shape
+    xs = (
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 5, 2, 4)
+        .reshape(b, h // 2, w // 2, c * 4)
+    )
+    old = (
+        jax.lax.conv_general_dilated(
+            xs, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.apply(p, x)), np.asarray(old), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pixel_shuffle_upsample_single_conv_parity():
+    """PixelShuffleUpsample = ONE 2x2 lhs-dilated conv + subpixel bias + SiLU,
+    exactly the old 1x1 conv + SiLU + depth-to-space."""
+    import flax.linen as nn
+    from audiodiffuser_tpu.models.layers import PixelShuffleUpsample
+
+    x = jax.random.normal(jax.random.key(42), (2, 4, 3, 6))
+    m = PixelShuffleUpsample(5)
+    p = m.init(jax.random.key(43), x)
+    kern = p["params"]["Conv_0"]["kernel"]
+    bias = p["params"]["Conv_0"]["bias"]
+    assert kern.shape == (1, 1, 6, 20)  # unchanged checkpoint layout
+    y = (
+        jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + bias
+    )
+    y = nn.silu(y)
+    b, h, w, _ = x.shape
+    y = (
+        y.reshape(b, h, w, 5, 2, 2)
+        .transpose(0, 1, 4, 2, 5, 3)
+        .reshape(b, 2 * h, 2 * w, 5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.apply(p, x)), np.asarray(y), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("stride,ks", [(1, (3, 7, 15)), (2, (2, 4))])
+def test_cross_embed_fused_single_conv_parity(stride, ks):
+    """CrossEmbedLayer = ONE conv with zero-embedded branch kernels, exactly
+    the old per-branch convs + concat (profile: stem was ~7% of sampling)."""
+    from audiodiffuser_tpu.models.layers import CrossEmbedLayer
+
+    x = jax.random.normal(jax.random.key(44), (2, 16, 12, 2))
+    m = CrossEmbedLayer(24, kernel_sizes=ks, stride=stride)
+    p = m.init(jax.random.key(45), x)
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jax.random.normal(jax.random.key(46), a.shape), p
+    )
+
+    kernel_sizes = sorted(ks)
+    n = len(kernel_sizes)
+    dim_scales = [24 // (2**i) for i in range(1, n)]
+    dim_scales = [*dim_scales, 24 - sum(dim_scales)]
+    fmaps = []
+    for i, k in enumerate(kernel_sizes):
+        pad = (k - stride) // 2
+        w = p["params"][f"Conv_{i}"]["kernel"]
+        b = p["params"][f"Conv_{i}"]["bias"]
+        fmaps.append(
+            jax.lax.conv_general_dilated(
+                x, w, (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+    old = jnp.concatenate(fmaps, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(p, x)), np.asarray(old), rtol=2e-5, atol=2e-5
+    )
