@@ -386,6 +386,8 @@ class CrossEmbedLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         kernel_sizes = sorted(self.kernel_sizes)
         num_scales = len(kernel_sizes)
         dim_scales = [self.dim_out // (2**i) for i in range(1, num_scales)]
@@ -393,22 +395,40 @@ class CrossEmbedLayer(nn.Module):
         cin = x.shape[-1]
         k_max = kernel_sizes[-1]
         pad_max = (k_max - self.stride) // 2
+        # ADT_FUSED_STEM=0 selects the per-branch composite (identical math;
+        # used for honest analytic-FLOPs counting and ablation)
+        fuse = os.environ.get("ADT_FUSED_STEM", "1") != "0"
 
         fused = jnp.zeros((k_max, k_max, cin, self.dim_out), jnp.float32)
-        biases = []
+        fmaps, biases = [], []
         start = 0
         for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
             kern, bias = _ConvParams(
                 features=dim_scale, kernel_size=kernel, name=f"Conv_{i}"
             )(cin)
+            pad = (kernel - self.stride) // 2
+            if not fuse:
+                fmaps.append(
+                    jax.lax.conv_general_dilated(
+                        x.astype(self.dtype),
+                        kern.astype(self.dtype),
+                        window_strides=(self.stride, self.stride),
+                        padding=[(pad, pad), (pad, pad)],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    + bias.astype(self.dtype)
+                )
+                continue
             # branch output o taps x[o*s - pad_i + t]; embedding at offset
             # pad_max - pad_i inside the max window reproduces them exactly
-            off = pad_max - (kernel - self.stride) // 2
+            off = pad_max - pad
             fused = fused.at[
                 off : off + kernel, off : off + kernel, :, start : start + dim_scale
             ].set(kern.astype(jnp.float32))
             biases.append(bias)
             start += dim_scale
+        if not fuse:
+            return jnp.concatenate(fmaps, axis=-1)
         bias = jnp.concatenate(biases)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

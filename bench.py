@@ -132,11 +132,17 @@ def run(BATCH):
 
     key = jax.random.key(1)
     try:
+        # count FLOPs on the reference formulation (ADT_FUSED_STEM=0): the
+        # fused stem's zero-padded kernels would otherwise inflate the
+        # analytic count (and thus vs_baseline) by ~2%
+        os.environ["ADT_FUSED_STEM"] = "0"
         total_flops_per_gen_batch = count_flops(
             task.make_sample_fn(), params, key, classes
         )
     except Exception:
         total_flops_per_gen_batch = 0.0
+    finally:
+        os.environ.pop("ADT_FUSED_STEM", None)
 
     # warmup / compile
     t_compile = time.perf_counter()

@@ -1,5 +1,7 @@
 """UNet2dBase backbone tests: shapes, init behavior, CFG paths, jit."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -219,3 +221,12 @@ def test_cross_embed_fused_single_conv_parity(stride, ks):
     np.testing.assert_allclose(
         np.asarray(m.apply(p, x)), np.asarray(old), rtol=2e-5, atol=2e-5
     )
+    # ADT_FUSED_STEM=0 selects the composite formulation (used by bench.py
+    # for honest analytic-FLOPs counting) — must match both paths exactly
+    os.environ["ADT_FUSED_STEM"] = "0"
+    try:
+        np.testing.assert_allclose(
+            np.asarray(m.apply(p, x)), np.asarray(old), rtol=2e-5, atol=2e-5
+        )
+    finally:
+        os.environ.pop("ADT_FUSED_STEM", None)
