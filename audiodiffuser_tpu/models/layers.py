@@ -302,11 +302,27 @@ class _FusedBlockConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _GroupNormParams(nn.Module):
+    """Declares nn.GroupNorm-compatible scale/bias params without applying
+    the norm (for the fused Block kernel, which folds the stats itself)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return scale, bias
+
+
 class Block(nn.Module):
     """GroupNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv (reference :83-104).
 
-    On TPU, eligible shapes run SiLU+conv as one fused Winograd Pallas kernel
-    (2.25x fewer MXU multiplies; parameter layout identical to nn.Conv)."""
+    On TPU, eligible shapes run the whole chain as ONE fused Pallas kernel
+    (ops/fused_block.py: XLA stats pass + fused affine/SiLU/direct-conv;
+    param tree identical to the composite path, so checkpoints interchange).
+    ``ADT_FUSED_BLOCK=0`` restores the composite XLA path; the Winograd
+    variant stays opt-in via ``ADT_WINOGRAD=1``."""
 
     dim_out: int
     groups: int = 8
@@ -315,6 +331,29 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple] = None):
+        from ..ops.fused_block import fused_block_eligible, fused_gn_film_silu_conv3x3
+
+        if (
+            self.norm
+            and not _winograd_dispatch(x.shape, self.dim_out)
+            and fused_block_eligible(x.shape, self.dim_out)
+        ):
+            gamma, beta = _GroupNormParams(x.shape[-1], name="GroupNorm_0")()
+            kernel, bias = _ConvParams(self.dim_out, 3, name="Conv_0")(x.shape[-1])
+            scale = shift = None
+            if scale_shift is not None:
+                s, t = scale_shift
+                scale, shift = s + 1.0, t
+            return fused_gn_film_silu_conv3x3(
+                x.astype(self.dtype),
+                gamma,
+                beta,
+                scale,
+                shift,
+                kernel,
+                bias,
+                self.groups,
+            )
         if self.norm:
             x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         scale = shift = None
