@@ -367,6 +367,11 @@ class Block(nn.Module):
         if scale is not None:
             x = x * scale + shift
         x = nn.silu(x)
+        from ..ops.quant import int8_conv, int8_conv_eligible
+
+        if int8_conv_eligible(x.shape[-1], self.dim_out):
+            kernel, bias = _ConvParams(self.dim_out, 3, name="Conv_0")(x.shape[-1])
+            return int8_conv(x.astype(self.dtype), kernel, bias)
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 
 

@@ -122,15 +122,21 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, out_ref, scratch, sem,
         lo = jnp.where(si == 0, 1, 0)
         hi = jnp.where(si == ns - 1, th, th + 1)
         valid = (row >= lo) & (row <= hi)
-    z = jnp.where(valid, z, 0.0)
-    # W halo as a value-level pad: zp [TH+2, W+2, C]
-    zp = jnp.pad(z.astype(jnp.bfloat16), ((0, 0), (1, 1), (0, 0)))
+    z = jnp.where(valid, z, 0.0).astype(jnp.bfloat16)
 
-    # 3x3 SAME conv = 9 shifted matmuls, fp32 accumulation on the MXU
+    # 3x3 SAME conv = 9 shifted matmuls, fp32 accumulation on the MXU.
+    # The W halo costs only TWO sublane relayouts (left/right shifted
+    # copies); the H (ki) shifts are free dim-0 slices of each copy.
+    zcol = jnp.zeros((th + 2, 1, ci), jnp.bfloat16)
+    shifted = (
+        jnp.concatenate([zcol, z[:, : ww - 1, :]], axis=1),   # kj = 0
+        z,                                                    # kj = 1
+        jnp.concatenate([z[:, 1:, :], zcol], axis=1),         # kj = 2
+    )
     acc = jnp.zeros((th * ww, co), jnp.float32)
-    for ki in range(3):
-        for kj in range(3):
-            d = zp[ki : ki + th, kj : kj + ww, :].reshape(th * ww, ci)
+    for kj, zk in enumerate(shifted):
+        for ki in range(3):
+            d = zk[ki : ki + th].reshape(th * ww, ci)
             acc += jax.lax.dot_general(
                 d,
                 w_ref[ki, kj],
@@ -274,8 +280,12 @@ def fused_block_eligible(x_shape, dim_out: int) -> bool:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False
+    # below this many pixels the per-program DMA/launch overhead and the
+    # broken XLA fusion boundary outweigh the saved HBM passes (measured
+    # in-model on v5e; ADT_FUSED_BLOCK_MIN_HW tunes)
+    min_hw = int(os.environ.get("ADT_FUSED_BLOCK_MIN_HW", 2048))
     return (
-        h * w >= 512
+        h * w >= min_hw
         and h % 8 == 0
         and c % 128 == 0
         and dim_out % 128 == 0

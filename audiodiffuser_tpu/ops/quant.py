@@ -1,0 +1,116 @@
+"""Int8 (W8A8) quantized convolution for the sampling fast path.
+
+The v5e MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured
+1.44-1.67x end-to-end through XLA's conv lowering at flagship Block shapes,
+``scripts/perf/probe_int8.py``).  With bf16 convs already at ~93% of peak
+(see ROADMAP), lower-precision compute is the only remaining conv lever.
+
+Scheme (the standard post-training W8A8 recipe for conv UNets):
+- weights: per-output-channel symmetric absmax int8, quantized from the
+  bf16 params at trace time (cheap; folded into the step by XLA),
+- activations: dynamic per-tensor symmetric absmax int8 — the absmax
+  reduce fuses into the producer chain (GN/SiLU epilogue), and the
+  int8 conv input is written at HALF the HBM bytes of bf16,
+- accumulation in int32 on the MXU, dequantised by ``x_scale * w_scale[c]``
+  in the conv epilogue fusion.
+
+Gradients pass straight-through to the bf16 conv VJP (custom_vjp), so the
+op is safe anywhere in a model even under ``jax.grad`` — but the intended
+use is generation/serving (``ADT_INT8=1``), quality-checked by FAD against
+the bf16 samples (reference quality bar: BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: w [..., Co] -> (int8, scale [Co])."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-tensor symmetric int8: x -> (int8, scalar scale)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def _conv(x, w, strides, padding, out_dtype):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        tuple(strides),
+        padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype,
+    )
+
+
+def _int8_conv_impl(x, w, bias, strides, padding):
+    wq, ws = quantize_weight(w)
+    xq, xs = quantize_activation(x)
+    y = _conv(xq, wq, strides, padding, jnp.int32)
+    y = y.astype(jnp.float32) * (xs * ws)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _bf16_conv_impl(x, w, bias, strides, padding):
+    y = _conv(x, w.astype(x.dtype), strides, padding, jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def int8_conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    strides: Sequence[int] = (1, 1),
+    padding: str = "SAME",
+) -> jnp.ndarray:
+    """W8A8 conv with int32 MXU accumulation and straight-through gradients.
+
+    Forward: dynamic per-tensor activation quant + per-channel weight quant.
+    Backward: the bf16 conv VJP on the unquantised operands (STE)."""
+
+    @jax.custom_vjp
+    def op(x, w, bias):
+        return _int8_conv_impl(x, w, bias, strides, padding)
+
+    def fwd(x, w, bias):
+        return op(x, w, bias), (x, w, bias)
+
+    def bwd(res, g):
+        x, w, bias = res
+        _, vjp = jax.vjp(
+            lambda x, w, bias: _bf16_conv_impl(x, w, bias, strides, padding),
+            x, w, bias,
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op(x, w, bias)
+
+
+def int8_enabled() -> bool:
+    """Opt-in gate for the quantized sampling path (``ADT_INT8=1``)."""
+    return os.environ.get("ADT_INT8", "0") == "1"
+
+
+def int8_conv_eligible(cin: int, cout: int) -> bool:
+    """Lane-aligned real channel counts only; the 2-channel stem/head convs
+    (quality-sensitive first/last layers) never qualify."""
+    return int8_enabled() and cin % 128 == 0 and cout % 128 == 0

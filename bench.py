@@ -132,10 +132,13 @@ def run(BATCH):
 
     key = jax.random.key(1)
     try:
-        # count FLOPs on the reference formulation (ADT_FUSED_STEM=0): the
-        # fused stem's zero-padded kernels would otherwise inflate the
-        # analytic count (and thus vs_baseline) by ~2%
+        # count FLOPs on the reference formulation: the fused stem's
+        # zero-padded kernels would inflate the analytic count (~2%), and
+        # the fused-Block pallas_call hides its conv FLOPs from the jaxpr
+        # walk entirely
         os.environ["ADT_FUSED_STEM"] = "0"
+        prev_fused = os.environ.pop("ADT_FUSED_BLOCK", None)
+        os.environ["ADT_FUSED_BLOCK"] = "0"
         total_flops_per_gen_batch = count_flops(
             task.make_sample_fn(), params, key, classes
         )
@@ -143,6 +146,10 @@ def run(BATCH):
         total_flops_per_gen_batch = 0.0
     finally:
         os.environ.pop("ADT_FUSED_STEM", None)
+        if prev_fused is None:
+            os.environ.pop("ADT_FUSED_BLOCK", None)
+        else:
+            os.environ["ADT_FUSED_BLOCK"] = prev_fused
 
     # warmup / compile
     t_compile = time.perf_counter()
