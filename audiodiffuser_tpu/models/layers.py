@@ -371,7 +371,25 @@ class Block(nn.Module):
 
         if int8_conv_eligible(x.shape[-1], self.dim_out):
             kernel, bias = _ConvParams(self.dim_out, 3, name="Conv_0")(x.shape[-1])
-            return int8_conv(x.astype(self.dtype), kernel, bias)
+            act_scale = None
+            if self.has_variable("quant", "act_scale"):
+                # static calibrated scale: quantization fuses into the
+                # SiLU producer (no dynamic absmax pass)
+                act_scale = self.variable(
+                    "quant", "act_scale", lambda: jnp.ones(())
+                ).value
+            else:
+                # calibration capture: running max of the conv input absmax
+                # (no-op unless applied with mutable=["quant_stats"])
+                self.sow(
+                    "quant_stats",
+                    "act_absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros(()),
+                )
+            return int8_conv(x.astype(self.dtype), kernel, bias,
+                             act_scale=act_scale)
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 
 

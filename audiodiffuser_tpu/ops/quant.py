@@ -57,9 +57,18 @@ def _conv(x, w, strides, padding, out_dtype):
     )
 
 
-def _int8_conv_impl(x, w, bias, strides, padding):
+def _int8_conv_impl(x, w, bias, strides, padding, act_scale=None):
     wq, ws = quantize_weight(w)
-    xq, xs = quantize_activation(x)
+    if act_scale is None:
+        xq, xs = quantize_activation(x)
+    else:
+        # static calibrated scale: the round/clip chain fuses into x's
+        # producer (GN/SiLU epilogue) and the conv input is written int8
+        # directly — no extra absmax pass, HALF the producer HBM bytes
+        xs = jnp.asarray(act_scale, jnp.float32)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / xs), -127, 127
+        ).astype(jnp.int8)
     y = _conv(xq, wq, strides, padding, jnp.int32)
     y = y.astype(jnp.float32) * (xs * ws)
     if bias is not None:
@@ -80,15 +89,17 @@ def int8_conv(
     bias: Optional[jnp.ndarray] = None,
     strides: Sequence[int] = (1, 1),
     padding: str = "SAME",
+    act_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """W8A8 conv with int32 MXU accumulation and straight-through gradients.
 
-    Forward: dynamic per-tensor activation quant + per-channel weight quant.
+    Forward: per-channel weight quant + activation quant (dynamic absmax, or
+    a static calibrated ``act_scale`` — see ``stats_to_scales``).
     Backward: the bf16 conv VJP on the unquantised operands (STE)."""
 
     @jax.custom_vjp
     def op(x, w, bias):
-        return _int8_conv_impl(x, w, bias, strides, padding)
+        return _int8_conv_impl(x, w, bias, strides, padding, act_scale)
 
     def fwd(x, w, bias):
         return op(x, w, bias), (x, w, bias)
@@ -103,6 +114,30 @@ def int8_conv(
 
     op.defvjp(fwd, bwd)
     return op(x, w, bias)
+
+
+def stats_to_scales(quant_stats) -> dict:
+    """Convert a sown ``quant_stats`` collection (per-module ``act_absmax``
+    maxima) into the ``quant`` collection (per-module ``act_scale``) that the
+    Block int8 path reads for static quantization."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {
+                ("act_scale" if k == "act_absmax" else k): walk(v)
+                for k, v in node.items()
+            }
+        value = node[0] if isinstance(node, (tuple, list)) else node
+        return jnp.maximum(jnp.asarray(value, jnp.float32), 1e-12) / 127.0
+
+    return walk(dict(quant_stats))
+
+
+def merge_stats_max(a, b):
+    """Elementwise-max merge of two quant_stats trees (calibration steps)."""
+    if a is None:
+        return b
+    return jax.tree.map(jnp.maximum, a, b)
 
 
 def int8_enabled() -> bool:

@@ -54,6 +54,9 @@ class DiffusionSpecTask:
     # split generation into sequential chunks of this size inside the jit
     # (None = whole batch at once); see make_sample_fn
     sample_microbatch: Optional[int] = None
+    # static W8A8 activation scales ("quant" collection) for the int8
+    # sampling path; populate via calibrate_int8_scales (ops/quant.py)
+    quant_scales: Optional[Any] = None
 
     def __post_init__(self):
         self.window = hann_window(self.n_fft)
@@ -88,10 +91,14 @@ class DiffusionSpecTask:
 
     # -- network binding ------------------------------------------------------
     def _net_fn(self, params, train: bool, cond_key=None):
+        collections = {"params": params}
+        if self.quant_scales is not None and not train:
+            collections["quant"] = self.quant_scales
+
         def net_fn(x, c_noise, cond_drop_prob=0.0, cond_drop_mask=None, **cond):
             rngs = {"cond": cond_key} if (train and cond_key is not None) else None
             return self.net.apply(
-                {"params": params},
+                collections,
                 x,
                 c_noise,
                 cond_drop_prob=cond_drop_prob,
@@ -101,6 +108,50 @@ class DiffusionSpecTask:
             )
 
         return net_fn
+
+    def calibrate_int8_scales(self, params, key, batch: int = 4):
+        """Populate ``quant_scales`` for the static-scale W8A8 sampling path.
+
+        Runs the preconditioned denoiser over the full sampling sigma grid
+        on approximate marginals (x_t = sigma * noise; every Block input is
+        GroupNorm-normalised so activation ranges depend on the conditioning
+        path, not the sample values) while the Blocks sow their conv-input
+        absmax; the per-layer maxima over all steps become the static
+        scales. Returns self (mutated in place)."""
+        from ..ops.quant import merge_stats_max, stats_to_scales
+
+        n_sig = int(self.sigmas.shape[0])
+        classes = jnp.tile(self.test_classes(batch)[:batch], n_sig)
+
+        @jax.jit
+        def probe(key):
+            # one batched call: every sigma of the grid x `batch` noise draws
+            sigmas = jnp.repeat(jnp.asarray(self.sigmas), batch)
+            x = sigmas[:, None, None, None] * jax.random.normal(
+                key, self.noise_shape(batch * n_sig)
+            )
+
+            collected = {}
+
+            def capture_net(xin, c_noise, **cond):
+                out, aux = self.net.apply(
+                    {"params": params}, xin, c_noise,
+                    mutable=["quant_stats"], **cond,
+                )
+                collected["stats"] = merge_stats_max(
+                    collected.get("stats"), aux.get("quant_stats", {})
+                )
+                return out
+
+            self.diffusion.denoise_fn(
+                x, net=capture_net, inference=True, sigmas=sigmas,
+                classes=classes,
+            )
+            return collected["stats"]
+
+        stats = jax.device_get(probe(key))
+        self.quant_scales = stats_to_scales(stats) if stats else None
+        return self
 
     # -- training loss --------------------------------------------------------
     def loss_fn(self, params, batch, key):

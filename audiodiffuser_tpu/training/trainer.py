@@ -468,6 +468,16 @@ class Trainer:
         if self.task.ema_ckpt_path:
             params = self.load_ema_params(self.task.ema_ckpt_path, params)
 
+        # opt-in W8A8 serving path (ADT_INT8=1): calibrate static activation
+        # scales over the sigma grid before compiling generation
+        from ..ops.quant import int8_enabled
+
+        if int8_enabled() and hasattr(self.task, "calibrate_int8_scales"):
+            print("[trainer] int8: calibrating static activation scales")
+            self.task.calibrate_int8_scales(
+                jax.device_get(params), jax.random.key(7)
+            )
+
         if batch_size is None:
             batch_size = datamodule.batch_size if datamodule else 16
         total = self.task.total_test_samples or batch_size

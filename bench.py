@@ -125,6 +125,16 @@ def run(BATCH):
         jax.random.key(0), x0, jnp.zeros((1,)), classes=classes[:1]
     )["params"]
 
+    from audiodiffuser_tpu.ops.quant import int8_enabled
+
+    if int8_enabled():
+        # static-scale W8A8: calibrate per-layer activation scales over the
+        # sigma grid once, so quantization fuses into the SiLU producers
+        t0 = time.perf_counter()
+        task.calibrate_int8_scales(params, jax.random.key(7))
+        print(f"# int8 calibration: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
     sample_fn = jax.jit(task.make_sample_fn())
 
     # analytic FLOPs (jaxpr walk; device cost_analysis is unreliable here)

@@ -76,6 +76,12 @@ if run_phase 5; then
       model.ema_ckpt_path="$RECON" sampler_steps=$steps \
       paths.output_dir="$WORK/eval_dpm_$steps"
   done
+  # W8A8 static-scale serving path: same workload, quality checked by FAD
+  ADT_INT8=1 python eval.py \
+    experiment=sc09_inference/diffunet_complex_sc09_phema_eval_dpm \
+    data.data_dir="$DATA" ckpt_path="$WORK/train/checkpoints/last" \
+    model.ema_ckpt_path="$RECON" sampler_steps=50 \
+    paths.output_dir="$WORK/eval_dpm_50_int8"
 fi
 
 if run_phase 6; then

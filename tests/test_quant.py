@@ -78,8 +78,65 @@ def test_block_int8_path_param_compat(monkeypatch):
 
     monkeypatch.setenv("ADT_INT8", "1")
     p_q = blk.init(jax.random.key(5), x)
-    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_q)
+    # params tree identical (init additionally creates the calibration
+    # stats collection, which checkpoints never store)
+    assert jax.tree_util.tree_structure(
+        p_ref["params"]
+    ) == jax.tree_util.tree_structure(p_q["params"])
     y_q = blk.apply(p_ref, x)
     ref = np.asarray(y_ref, np.float32)
     rms = np.sqrt(np.mean((np.asarray(y_q, np.float32) - ref) ** 2))
     assert rms / (np.sqrt(np.mean(ref**2)) + 1e-9) < 0.03
+
+
+def test_static_scale_calibration_sampling(monkeypatch):
+    """calibrate_int8_scales populates quant_scales; static-scale sampling
+    runs and stays close to the bf16 samples."""
+    monkeypatch.setenv("ADT_INT8", "1")
+    import jax
+
+    from audiodiffuser_tpu.diffusion import EluDiffusion
+    from audiodiffuser_tpu.models.unet2d import UNet2dBase
+    from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
+    from audiodiffuser_tpu.ops.schedules import KarrasSchedule
+    from audiodiffuser_tpu.samplers.edm import EDMSampler
+    from audiodiffuser_tpu.tasks.diffusion_task import DiffusionSpecTask
+
+    def mk_task():
+        return DiffusionSpecTask(
+            net=UNet2dBase(
+                dim=128, num_classes=4, dim_mults=[1, 2], channels=2,
+                num_resnet_blocks=1, resnet_groups=8,
+                layer_attns=[False, False], layer_cross_attns=[False, False],
+                memory_efficient=True,
+            ),
+            diffusion=EluDiffusion(sigma_data=0.2),
+            sampler=EDMSampler(s_churn=0.0, num_steps=3, use_heun=False),
+            noise_scheduler=KarrasSchedule(
+                sigma_min=0.01, sigma_max=10.0, rho=7.0, num_steps=3
+            ),
+            noise_distribution=LogNormalDistribution(mean=-1.2, std=1.2),
+            n_fft=62, hop_length=16, generated_frame_length=16,
+            generated_sample_class=4,
+        )
+
+    task = mk_task()
+    x0 = jnp.zeros((1, 32, 16, 2))
+    params = task.net.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), classes=jnp.zeros((1,), jnp.int32)
+    )["params"]
+
+    task.calibrate_int8_scales(params, jax.random.key(1), batch=2)
+    assert task.quant_scales is not None
+    leaves = jax.tree.leaves(task.quant_scales)
+    assert leaves and all(float(s) > 0 for s in leaves)
+
+    classes = jnp.zeros((2,), jnp.int32)
+    wav_static = task.make_sample_fn()(params, jax.random.key(2), classes)
+
+    # dynamic-quant output (no static scales) as the comparison point
+    task_dyn = mk_task()
+    wav_dyn = task_dyn.make_sample_fn()(params, jax.random.key(2), classes)
+    a, b = np.asarray(wav_static, np.float32), np.asarray(wav_dyn, np.float32)
+    rms = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(b**2)) + 1e-9)
+    assert rms < 0.2, rms
