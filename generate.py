@@ -73,6 +73,13 @@ def generate(cfg):
 
     num_samples = int(cfg.get("num_samples", 16))
     batch_size = int(cfg.get("batch_size", min(num_samples, 16)))
+
+    from audiodiffuser_tpu.ops.quant import int8_enabled
+
+    if int8_enabled() and hasattr(task, "calibrate_int8_scales"):
+        print("[generate] int8: calibrating static activation scales")
+        task.calibrate_int8_scales(jax.device_get(params), jax.random.key(7))
+
     sample_fn = jax.jit(task.make_sample_fn())
     key = jax.random.key(cfg.get("seed") or 0)
 
