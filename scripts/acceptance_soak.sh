@@ -42,16 +42,35 @@ if run_phase 1; then
 fi
 
 if run_phase 2; then
-  banner "2: flagship conditional training — killed mid-run after ${KILL_AFTER}s"
-  timeout -s KILL "$KILL_AFTER" python train.py "${TRAIN_ARGS[@]}" \
-    && echo "train finished before kill window" \
-    || echo "train killed as planned (rc=$?)"
+  banner "2: flagship conditional training — SIGKILLed mid-run once it is stepping"
+  python train.py "${TRAIN_ARGS[@]}" & TPID=$!
+  # wait for real progress (epoch rows in metrics.csv — compile through the
+  # dev tunnel can take 15+ min and must not consume the kill window), then
+  # let a checkpoint land and kill -9 mid-training
+  for _ in $(seq 1 200); do
+    rows=$(wc -l < "$WORK/train/csv/metrics.csv" 2>/dev/null || echo 0)
+    [ "${rows:-0}" -gt 10 ] && break
+    kill -0 "$TPID" 2>/dev/null || break
+    sleep 15
+  done
+  if kill -0 "$TPID" 2>/dev/null; then
+    sleep "${KILL_GRACE:-120}"
+    kill -9 "$TPID" 2>/dev/null || true
+    echo "train SIGKILLed mid-run as planned"
+  else
+    echo "train exited on its own before the kill (rc captured by wait)"
+  fi
+  wait "$TPID" 2>/dev/null || true
   echo "checkpoints after kill:"; ls "$WORK/train/checkpoints" || true
 fi
 
 if run_phase 3; then
   banner "3: crash-resume from checkpoints/last to epoch $TOTAL_EPOCHS"
-  python train.py "${TRAIN_ARGS[@]}" ckpt_path="$WORK/train/checkpoints/last"
+  RESUME=()
+  [ -d "$WORK/train/checkpoints/last" ] \
+    && RESUME=(ckpt_path="$WORK/train/checkpoints/last") \
+    || echo "WARNING: no 'last' checkpoint found; starting fresh"
+  python train.py "${TRAIN_ARGS[@]}" ${RESUME[@]+"${RESUME[@]}"}
   echo "ema snapshots:"; ls "$WORK/train/ema_snapshots" || true
 fi
 
