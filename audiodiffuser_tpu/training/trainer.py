@@ -330,6 +330,11 @@ class Trainer:
         epoch = int(jax.device_get(state.epoch))  # resume-aware
         snapshot_marker = 0
         done = False
+        # host-side mirror of state.cur_nitem: a per-step device_get blocks
+        # on a device round-trip (catastrophic through a remote TPU tunnel —
+        # measured 22 vs 220 items/s); the mirror advances by the global
+        # batch size and is re-synced at epoch ends
+        nitem_host = int(jax.device_get(state.cur_nitem))
         while epoch < self.max_epochs and not done:
             t0 = time.time()
             losses = []
@@ -364,9 +369,9 @@ class Trainer:
                     )
 
                 if self.ema is not None:
-                    nitem = int(jax.device_get(state.cur_nitem))
-                    if nitem // self.task.num_ema_snapshot_item > snapshot_marker:
-                        snapshot_marker = nitem // self.task.num_ema_snapshot_item
+                    nitem_host += batch["audio"].shape[0] * jax.process_count()
+                    if nitem_host // self.task.num_ema_snapshot_item > snapshot_marker:
+                        snapshot_marker = nitem_host // self.task.num_ema_snapshot_item
                         self.save_ema_snapshots(state, step)
 
                 if self.max_steps and step >= self.max_steps:
@@ -376,6 +381,7 @@ class Trainer:
             train_loss = float(np.mean([jax.device_get(l) for l in losses])) if losses else 0.0
             epoch_time = time.time() - t0
             items = int(jax.device_get(state.cur_nitem))
+            nitem_host = items  # re-sync the host mirror (exact at epoch ends)
             log = {
                 "train/loss": train_loss,
                 "epoch": epoch,

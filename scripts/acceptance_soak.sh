@@ -24,11 +24,12 @@ PHASES=${PHASES:-0,1,2,3,4,5,6,7}
 run_phase() { [[ ",$PHASES," == *",$1,"* ]]; }
 banner() { echo; echo "=== [$(date -u +%F' '%T)] PHASE $1 ==="; }
 
+SNAPSHOT_ITEMS=${SNAPSHOT_ITEMS:-40000}
 TRAIN_ARGS=(experiment=sc09/diffunet_complex_sc09_phema
   data.data_dir="$DATA" paths.output_dir="$WORK/train"
   trainer.max_epochs=$TOTAL_EPOCHS trainer.min_epochs=$TOTAL_EPOCHS
   trainer.check_val_every_n_epoch=10
-  model.num_ema_snapshot_item=40000)
+  model.num_ema_snapshot_item=$SNAPSHOT_ITEMS)
 
 if run_phase 0; then
   banner "0: synthetic SC09 corpus (no real audio in the image)"
