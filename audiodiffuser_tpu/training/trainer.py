@@ -87,6 +87,7 @@ class Trainer:
         limit_val_batches: Optional[int] = None,
         ckpt_dir: Optional[str] = None,
         ckpt_every_n_epochs: int = 50,
+        ckpt_last_every_n_epochs: int = 1,
         logger: Optional[BaseLogger] = None,
         seed: int = 0,
         output_dir: str = "outputs",
@@ -120,6 +121,7 @@ class Trainer:
         self.output_dir = Path(output_dir)
         self.ckpt_dir = Path(ckpt_dir) if ckpt_dir else self.output_dir / "checkpoints"
         self.ckpt_every_n_epochs = ckpt_every_n_epochs
+        self.ckpt_last_every_n_epochs = ckpt_last_every_n_epochs
         self.logger = logger
         self.seed = seed
         self.mesh = mesh if mesh is not None else create_mesh()
@@ -427,7 +429,15 @@ class Trainer:
             if epoch % self.ckpt_every_n_epochs == 0 or epoch == self.max_epochs:
                 self.save_checkpoint(state, name=f"epoch_{epoch - 1:03d}")
                 self._prune_checkpoints()
-            self.save_checkpoint(state, name="last")
+            # the resumable 'last' pulls the full state to host — through a
+            # remote TPU tunnel that can dwarf the epoch itself, so its
+            # cadence is configurable (ckpt_last_every_n_epochs)
+            if (
+                epoch % self.ckpt_last_every_n_epochs == 0
+                or epoch == self.max_epochs
+                or done
+            ):
+                self.save_checkpoint(state, name="last")
 
         # always leave a resumable 'last' even if no epoch ran
         self.save_checkpoint(state, name="last")

@@ -29,6 +29,7 @@ TRAIN_ARGS=(experiment=sc09/diffunet_complex_sc09_phema
   data.data_dir="$DATA" paths.output_dir="$WORK/train"
   trainer.max_epochs=$TOTAL_EPOCHS trainer.min_epochs=$TOTAL_EPOCHS
   trainer.check_val_every_n_epoch=10
+  trainer.ckpt_last_every_n_epochs=10
   model.num_ema_snapshot_item=$SNAPSHOT_ITEMS)
 
 if run_phase 0; then

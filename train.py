@@ -134,6 +134,7 @@ def build_trainer_and_task(cfg, output_dir):
                 "limit_test_batches",
                 "overfit_batches",
                 "ckpt_every_n_epochs",
+                "ckpt_last_every_n_epochs",
                 "fast_dev_run",
                 "accumulate_grad_batches",
                 "early_stopping_patience",
