@@ -302,6 +302,58 @@ class _FusedBlockConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class QuantConv(nn.Module):
+    """nn.Conv-compatible conv that rides the W8A8 int8 path under
+    ``ADT_INT8_ALL=1`` (extended-coverage tier: non-GN-normalised inputs
+    like 1x1 residual projections and strided downsamples). Param tree is
+    identical to nn.Conv, so checkpoints interchange; calibration uses the
+    same quant_stats sow / 'quant' static-scale collections as Block."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_all_enabled, int8_conv, int8_conv_eligible
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if int8_all_enabled() and int8_conv_eligible(x.shape[-1], self.features):
+            act_scale = None
+            if self.has_variable("quant", "act_scale"):
+                act_scale = self.variable(
+                    "quant", "act_scale", lambda: jnp.ones(())
+                ).value
+            else:
+                self.sow(
+                    "quant_stats",
+                    "act_absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros(()),
+                )
+            return int8_conv(
+                x.astype(self.dtype), kernel, bias,
+                strides=self.strides, padding=self.padding,
+                act_scale=act_scale,
+            )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            self.strides,
+            self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class _GroupNormParams(nn.Module):
     """Declares nn.GroupNorm-compatible scale/bias params without applying
     the norm (for the fused Block kernel, which folds the stats itself)."""

@@ -36,6 +36,7 @@ from .layers import (
     ImagenLayerNorm,
     LearnedSinusoidalPosEmb,
     PixelShuffleUpsample,
+    QuantConv,
     Upsample,
     WNConv,
 )
@@ -100,7 +101,7 @@ class ResnetBlock(nn.Module):
             h = h * GlobalContext(dim_out=self.dim_out, dtype=self.dtype)(h)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+            x = QuantConv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -258,7 +259,9 @@ class DownsamplingBlock(nn.Module):
             if not self.is_last_layer:
                 x = downsample("post_downsample")(x)
             else:
-                x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="post_conv3")(x) + nn.Conv(
+                x = QuantConv(
+                    self.dim_out, (3, 3), dtype=self.dtype, name="post_conv3"
+                )(x) + QuantConv(
                     self.dim_out, (1, 1), dtype=self.dtype, name="post_conv1"
                 )(x)
 
@@ -411,7 +414,7 @@ class CondResnetBlock(nn.Module):
         if self.use_gca:
             h = h * GlobalContext(dim_out=self.dim_out, dtype=self.dtype)(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+            x = QuantConv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -460,7 +463,9 @@ class CondEncoderBlock(nn.Module):
             if not self.is_last_layer:
                 x = downsample("post_downsample")(x)
             else:
-                x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="post_conv3")(x) + nn.Conv(
+                x = QuantConv(
+                    self.dim_out, (3, 3), dtype=self.dtype, name="post_conv3"
+                )(x) + QuantConv(
                     self.dim_out, (1, 1), dtype=self.dtype, name="post_conv1"
                 )(x)
         return x

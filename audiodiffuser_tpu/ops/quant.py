@@ -145,6 +145,14 @@ def int8_enabled() -> bool:
     return os.environ.get("ADT_INT8", "0") == "1"
 
 
+def int8_all_enabled() -> bool:
+    """Extended coverage gate (``ADT_INT8_ALL=1`` on top of ``ADT_INT8=1``):
+    also quantize 1x1 residual/skip projections and strided downsample convs
+    (inputs NOT GroupNorm-normalised — wider activation ranges, so this
+    tier is separately gated and separately FAD-checked)."""
+    return int8_enabled() and os.environ.get("ADT_INT8_ALL", "0") == "1"
+
+
 def int8_conv_eligible(cin: int, cout: int) -> bool:
     """Lane-aligned real channel counts only; the 2-channel stem/head convs
     (quality-sensitive first/last layers) never qualify."""

@@ -140,3 +140,29 @@ def test_static_scale_calibration_sampling(monkeypatch):
     a, b = np.asarray(wav_static, np.float32), np.asarray(wav_dyn, np.float32)
     rms = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(b**2)) + 1e-9)
     assert rms < 0.2, rms
+
+
+def test_quantconv_param_tree_matches_nn_conv(monkeypatch):
+    """QuantConv must expose kernel/bias like nn.Conv (checkpoint compat),
+    match its output in fp mode, and quantize under ADT_INT8_ALL=1."""
+    import flax.linen as nn
+
+    from audiodiffuser_tpu.models.layers import QuantConv
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 128))
+    ref_mod = nn.Conv(128, (1, 1), name="c")
+    q_mod = QuantConv(128, (1, 1), name="c")
+    p_ref = ref_mod.init(jax.random.key(1), x)
+    p_q = q_mod.init(jax.random.key(1), x)
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(p_q)
+    np.testing.assert_allclose(
+        np.asarray(q_mod.apply(p_ref, x)), np.asarray(ref_mod.apply(p_ref, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    monkeypatch.setenv("ADT_INT8", "1")
+    monkeypatch.setenv("ADT_INT8_ALL", "1")
+    y_q = q_mod.apply(p_ref, x)
+    ref = np.asarray(ref_mod.apply(p_ref, x), np.float32)
+    rms = np.sqrt(np.mean((np.asarray(y_q, np.float32) - ref) ** 2))
+    assert 0 < rms / (np.sqrt(np.mean(ref**2)) + 1e-9) < 0.03
