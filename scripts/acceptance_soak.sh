@@ -17,6 +17,7 @@ WORK=${WORK:-/tmp/soak_r02}
 OUT=$ROOT/logs/soak_r02
 TOTAL_EPOCHS=${TOTAL_EPOCHS:-150}
 KILL_AFTER=${KILL_AFTER:-1200}
+KILL_GRACE=${KILL_GRACE:-420}
 mkdir -p "$OUT" "$WORK"
 exec > >(tee -a "$OUT/soak.log") 2>&1
 
