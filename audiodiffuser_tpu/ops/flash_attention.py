@@ -75,7 +75,7 @@ def _fwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [blk_q, blk_k]
     if masked:
-        s = s + bias_ref[0][None, :]
+        s = s + bias_ref[0, 0][None, :]
     m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -90,7 +90,7 @@ def _fwd_kernel(
     @pl.when(kb == num_kb - 1)
     def _emit():
         o_ref[0] = (acc / l_new).astype(o_ref.dtype)
-        lse_ref[0] = (m_new + jnp.log(l_new))[:, 0]
+        lse_ref[0, 0] = (m_new + jnp.log(l_new))[:, 0]
 
 
 def _flash_forward(
@@ -124,20 +124,20 @@ def _flash_forward(
     args = [q, k, v]
     if masked:
         in_specs.append(
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b // heads, j))
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // heads, 0, j))
         )
-        args.append(bias)
-    return pl.pallas_call(
+        args.append(bias.reshape(bias.shape[0], 1, n_k))
+    out, lse3 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((bh, n_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, n_q), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -146,6 +146,7 @@ def _flash_forward(
         ],
         interpret=interpret,
     )(*args)
+    return out, lse3.reshape(bh, n_q)
 
 
 def _dq_kernel(
@@ -171,12 +172,12 @@ def _dq_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if masked:
-        s = s + bias_ref[0][None, :]
-    p = jnp.exp(s - lse_ref[0][:, None])  # [blk_q, blk_k]
+        s = s + bias_ref[0, 0][None, :]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [blk_q, blk_k]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dl_ref[0][:, None])
+    ds = p * (dp - dl_ref[0, 0][:, None])
     dq_s[...] += scale * jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -210,15 +211,15 @@ def _dkv_kernel(
         q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if masked:
-        s = s + bias_ref[0][None, :]
-    p = jnp.exp(s - lse_ref[0][:, None])  # [blk_q, blk_k]
+        s = s + bias_ref[0, 0][None, :]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [blk_q, blk_k]
     dv_s[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dl_ref[0][:, None])
+    ds = p * (dp - dl_ref[0, 0][:, None])
     dk_s[...] += scale * jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -239,18 +240,22 @@ def _flash_backward(
     num_qb, num_kb = n_q // block_q, n_k // block_k
     masked = bias is not None
     # D rows: rowsum(dO * O) — one cheap fused elementwise+reduce in XLA
-    dl = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    dl = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(bh, 1, n_q)
+    lse = lse.reshape(bh, 1, n_q)
+    bias3 = None if bias is None else bias.reshape(bias.shape[0], 1, n_k)
 
     qspec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
     kspec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
-    rowspec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i))
+    rowspec = pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i))
     in_specs = [qspec, kspec, kspec, qspec, rowspec, rowspec]
     args = [q, k, v, do, lse, dl]
     if masked:
         in_specs.append(
-            pl.BlockSpec((1, block_k), lambda b, i, j: (b // heads, j))
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // heads, 0, j))
         )
-        args.append(bias)
+        args.append(bias3)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, scale=scale, num_kb=num_kb, masked=masked
@@ -266,14 +271,14 @@ def _flash_backward(
     # dk/dv: k-blocks outer, q-blocks inner
     qspec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0))
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0))
-    rowspec2 = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i))
+    rowspec2 = pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i))
     in_specs2 = [qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2]
     args2 = [q, k, v, do, lse, dl]
     if masked:
         in_specs2.append(
-            pl.BlockSpec((1, block_k), lambda b, j, i: (b // heads, j))
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // heads, 0, j))
         )
-        args2.append(bias)
+        args2.append(bias3)
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, scale=scale, num_qb=num_qb, masked=masked
