@@ -360,16 +360,19 @@ def flash_attention(
 
 
 def _flash_compatible(q, k, mask) -> bool:
-    # Dispatch policy, measured on v5e: XLA attention wins slightly below
-    # ~4k tokens (5.6 vs 6.3 ms at N=2048) but collapses at long sequences
-    # (911 vs 53 ms at N=8192 — 17x for the flash kernel, which never
-    # materializes the NxN score matrix in HBM). Default: flash for
-    # n_q >= ADT_FLASH_MIN_SEQ (4096). ADT_FLASH_ATTENTION=1 forces it
-    # everywhere compatible; =0 disables entirely.
+    # Dispatch policy, re-measured on v5e with forced-sync timing
+    # (2026-08-17): XLA's fused attention is FASTER on wall-clock wherever
+    # its [N, N] buffers fit (3.2 vs 3.9 ms at N=2048, 7.1 vs 18.6 ms at
+    # N=8192, BH=8 d=64) — the flash kernels' value is MEMORY: O(N*D)
+    # instead of O(N^2) forward scores and backward temporaries (0 MB vs
+    # 4.3 GB at N=16k, scripts/microbench_flash_bwd.py). Default: flash
+    # only at n_q >= ADT_FLASH_MIN_SEQ (16384), where XLA's N^2 buffers
+    # start exhausting HBM. ADT_FLASH_ATTENTION=1 forces it everywhere
+    # compatible; =0 disables entirely.
     force = os.environ.get("ADT_FLASH_ATTENTION")
     if force == "0":
         return False
-    min_seq = int(os.environ.get("ADT_FLASH_MIN_SEQ", 4096))
+    min_seq = int(os.environ.get("ADT_FLASH_MIN_SEQ", 16384))
     if force != "1" and q.shape[-2] < min_seq:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
