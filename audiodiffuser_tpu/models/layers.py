@@ -370,11 +370,17 @@ class _GroupNormParams(nn.Module):
 class Block(nn.Module):
     """GroupNorm -> (FiLM scale/shift) -> SiLU -> 3x3 conv (reference :83-104).
 
-    On TPU, eligible shapes run the whole chain as ONE fused Pallas kernel
-    (ops/fused_block.py: XLA stats pass + fused affine/SiLU/direct-conv;
-    param tree identical to the composite path, so checkpoints interchange).
-    ``ADT_FUSED_BLOCK=0`` restores the composite XLA path; the Winograd
-    variant stays opt-in via ``ADT_WINOGRAD=1``."""
+    On TPU, ``ADT_FUSED_BLOCK=1`` opts eligible shapes into running the
+    whole chain as ONE fused Pallas kernel (ops/fused_block.py: XLA stats
+    pass + fused affine/SiLU/direct-conv; param tree identical to the
+    composite path, so checkpoints interchange). The default is the
+    composite XLA path, which measured faster in-model (PROFILE.md); the
+    Winograd variant is likewise opt-in via ``ADT_WINOGRAD=1``.
+
+    Precedence: the W8A8 int8 serving path (``ADT_INT8=1``) wins over the
+    fused kernel — int8 is the measured-faster default and the fused kernel
+    has no int8 variant, so taking it would silently drop quantization
+    (and calibration sowing) for Block convs."""
 
     dim_out: int
     groups: int = 8
@@ -384,11 +390,14 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple] = None):
         from ..ops.fused_block import fused_block_eligible, fused_gn_film_silu_conv3x3
+        from ..ops.quant import int8_conv_eligible as _int8_elig
 
         if (
             self.norm
             and not _winograd_dispatch(x.shape, self.dim_out)
             and fused_block_eligible(x.shape, self.dim_out)
+            # int8 serving wins over the fused kernel (see class docstring)
+            and not _int8_elig(x.shape[-1], self.dim_out)
         ):
             gamma, beta = _GroupNormParams(x.shape[-1], name="GroupNorm_0")()
             kernel, bias = _ConvParams(self.dim_out, 3, name="Conv_0")(x.shape[-1])

@@ -359,6 +359,14 @@ def flash_attention(
     return out.reshape(b, h, n_q, d)
 
 
+def _min_seq() -> int:
+    """Single source of truth for the flash-dispatch sequence threshold.
+
+    Shared by ``_flash_compatible`` and the masked-KV padding gate in
+    ``attention_core_auto`` so one env var means one policy."""
+    return int(os.environ.get("ADT_FLASH_MIN_SEQ", 16384))
+
+
 def _flash_compatible(q, k, mask) -> bool:
     # Dispatch policy, re-measured on v5e with forced-sync timing
     # (2026-08-17): XLA's fused attention is FASTER on wall-clock wherever
@@ -372,8 +380,7 @@ def _flash_compatible(q, k, mask) -> bool:
     force = os.environ.get("ADT_FLASH_ATTENTION")
     if force == "0":
         return False
-    min_seq = int(os.environ.get("ADT_FLASH_MIN_SEQ", 16384))
-    if force != "1" and q.shape[-2] < min_seq:
+    if force != "1" and q.shape[-2] < _min_seq():
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False
@@ -399,7 +406,7 @@ def attention_core_auto(q, k, v, mask=None, scale=1.0):
     if (
         mask is not None
         and n_k % DEFAULT_BLOCK_K != 0
-        and q.shape[-2] >= int(os.environ.get("ADT_FLASH_MIN_SEQ", 4096))
+        and q.shape[-2] >= _min_seq()
     ):
         pad = DEFAULT_BLOCK_K - n_k % DEFAULT_BLOCK_K
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -42,7 +42,14 @@ def _slab_height(h: int, w: int, co: int) -> int:
     """Largest power-of-two divisor of H whose fp32 accumulator fits budget."""
     env = os.environ.get("ADT_FUSED_BLOCK_TH")
     if env:
-        return int(env)
+        th = int(env)
+        # ns = h // th truncates: a non-divisor would leave the bottom
+        # h - ns*th rows unwritten (silent garbage), so reject it here.
+        if th < 8 or h % th:
+            raise ValueError(
+                f"ADT_FUSED_BLOCK_TH={th} must be >= 8 and divide H={h}"
+            )
+        return th
     th = h
     while th > 8 and th * w * co * 4 > _ACC_BUDGET:
         th //= 2

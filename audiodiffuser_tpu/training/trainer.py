@@ -371,6 +371,11 @@ class Trainer:
                     )
 
                 if self.ema is not None:
+                    # host-side mirror of state.cur_nitem; assumes equal
+                    # per-process batch sizes (true for our drop_last
+                    # loaders). Uneven partial batches would drift it until
+                    # the epoch-end resync below, shifting EMA snapshot
+                    # boundaries by at most that drift.
                     nitem_host += batch["audio"].shape[0] * jax.process_count()
                     if nitem_host // self.task.num_ema_snapshot_item > snapshot_marker:
                         snapshot_marker = nitem_host // self.task.num_ema_snapshot_item

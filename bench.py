@@ -153,6 +153,7 @@ def run(BATCH):
         # zero-padded kernels would inflate the analytic count (~2%), and
         # the fused-Block pallas_call hides its conv FLOPs from the jaxpr
         # walk entirely
+        prev_stem = os.environ.get("ADT_FUSED_STEM")
         os.environ["ADT_FUSED_STEM"] = "0"
         prev_fused = os.environ.pop("ADT_FUSED_BLOCK", None)
         os.environ["ADT_FUSED_BLOCK"] = "0"
@@ -162,7 +163,10 @@ def run(BATCH):
     except Exception:
         total_flops_per_gen_batch = 0.0
     finally:
-        os.environ.pop("ADT_FUSED_STEM", None)
+        if prev_stem is None:
+            os.environ.pop("ADT_FUSED_STEM", None)
+        else:
+            os.environ["ADT_FUSED_STEM"] = prev_stem
         if prev_fused is None:
             os.environ.pop("ADT_FUSED_BLOCK", None)
         else:
@@ -213,6 +217,10 @@ def run(BATCH):
                 "value": round(samples_per_sec_chip, 3),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),
+                # achieved batch: the subprocess ladder can fall back to a
+                # smaller batch on small-memory devices — record it so a
+                # batch-16 run can't masquerade as the batch-128 workload
+                "batch": BATCH,
             }
         )
     )
