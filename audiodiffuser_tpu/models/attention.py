@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ImagenLayerNorm, l2norm
+from .layers import ImagenLayerNorm, QuantDense, l2norm
 
 Dtype = Any
 
@@ -89,7 +89,9 @@ class Attention(nn.Module):
     def __call__(self, x, context=None, context_mask=None):
         assert self.dim % self.heads == 0
         head_dim = self.dim // self.heads
-        dense = lambda feats, name: nn.Dense(feats, use_bias=False, dtype=self.dtype, name=name)
+        # QuantDense == nn.Dense in bf16; rides the W8A8 int8 serving path
+        # (ADT_INT8=1) at lane-aligned shapes (deep-level dims)
+        dense = lambda feats, name: QuantDense(feats, use_bias=False, dtype=self.dtype, name=name)
 
         q = dense(self.dim, "to_q")(x)
 
@@ -159,10 +161,11 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         hidden = int(self.dim * self.mult)
         x = ImagenLayerNorm(dtype=self.dtype)(x)
-        x = nn.Dense(hidden, use_bias=False, dtype=self.dtype)(x)
+        # names pin the nn.Dense param paths (checkpoint compatibility)
+        x = QuantDense(hidden, use_bias=False, dtype=self.dtype, name="Dense_0")(x)
         x = nn.gelu(x)
         x = ImagenLayerNorm(dtype=self.dtype)(x)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
+        return QuantDense(self.dim, use_bias=False, dtype=self.dtype, name="Dense_1")(x)
 
 
 # In NHWC the channel feedforward is the token feedforward with 1x1 convs ==

@@ -136,6 +136,23 @@ class Upsample(nn.Module):
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
 
 
+def _static_act_scale(mod: nn.Module, x: jnp.ndarray):
+    """Shared calibration seam for the W8A8 static-scale path: read the
+    calibrated ``quant``/act_scale if bound, else sow the running absmax
+    into ``quant_stats`` (no-op unless applied with that collection
+    mutable — see ops/quant.stats_to_scales)."""
+    if mod.has_variable("quant", "act_scale"):
+        return mod.variable("quant", "act_scale", lambda: jnp.ones(())).value
+    mod.sow(
+        "quant_stats",
+        "act_absmax",
+        jnp.max(jnp.abs(x.astype(jnp.float32))),
+        reduce_fn=jnp.maximum,
+        init_fn=lambda: jnp.zeros(()),
+    )
+    return None
+
+
 def _pixel_shuffle_init(key, shape, dtype=jnp.float32):
     """Kaiming-uniform kernel replicated over the 4 sub-pixels so the
     upsample starts smooth (anti-checkerboard; reference unet2d.py:45-52)."""
@@ -183,15 +200,27 @@ class _PixelShuffleConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (4 * d,))
         # out[2y+i, 2x+j, d] = sum_c x[y,x,c] * W[c, d*4+i*2+j]  (shuffle of
         # the 1x1 conv). As lhs-dilated conv the kernel is spatially flipped.
+        from ..ops.quant import int8_conv, int8_conv_eligible, int8_seam_enabled
+
         k = kernel.reshape(c, d, 2, 2).transpose(2, 3, 0, 1)[::-1, ::-1]
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            k.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if int8_seam_enabled() and int8_conv_eligible(c, 4 * d):
+            out = int8_conv(
+                x.astype(self.dtype),
+                k,
+                strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                lhs_dilation=(2, 2),
+                act_scale=_static_act_scale(self, x),
+            )
+        else:
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                k.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         # bias varies per (i, j) subpixel: pure-reshape broadcast (no copy)
         bias_ij = bias.reshape(d, 2, 2).transpose(1, 2, 0).astype(self.dtype)
         out = out.reshape(b, h, 2, w, 2, d)
@@ -235,7 +264,18 @@ class _SpaceToDepthConv(nn.Module):
             "bias", nn.initializers.zeros_init(), (self.dim_out,)
         )
         # space-to-depth channel m = c*4 + i*2 + j  ->  kernel [2,2,C,out]
+        from ..ops.quant import int8_conv, int8_conv_eligible, int8_seam_enabled
+
         k = kernel.reshape(c, 2, 2, self.dim_out).transpose(1, 2, 0, 3)
+        if int8_seam_enabled() and int8_conv_eligible(c, self.dim_out):
+            return int8_conv(
+                x.astype(self.dtype),
+                k,
+                bias,
+                strides=(2, 2),
+                padding="VALID",
+                act_scale=_static_act_scale(self, x),
+            )
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             k.astype(self.dtype),
@@ -354,6 +394,59 @@ class QuantConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """nn.Dense-compatible matmul that rides the W8A8 int8 path under
+    ``ADT_INT8=1`` when the shapes are lane-aligned (128-multiple in/out).
+
+    Used for the attention QKV/out projections and transformer feedforwards
+    at the deep UNet levels: their inputs are LayerNorm-normalised, the same
+    bounded-range regime as Block's GroupNorm-normalised conv inputs, so the
+    same static-calibration scheme applies (sow ``quant_stats``/read
+    ``quant`` collections — see ops/quant.py). Param tree is identical to
+    nn.Dense, so checkpoints interchange."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_dense, int8_dense_eligible
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+        if int8_dense_eligible(x.shape[-1], self.features):
+            act_scale = None
+            if self.has_variable("quant", "act_scale"):
+                act_scale = self.variable(
+                    "quant", "act_scale", lambda: jnp.ones(())
+                ).value
+            else:
+                self.sow(
+                    "quant_stats",
+                    "act_absmax",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.zeros(()),
+                )
+            y = int8_dense(x.astype(self.dtype), kernel, act_scale=act_scale)
+        else:
+            y = jnp.einsum(
+                "...i,io->...o", x.astype(self.dtype), kernel.astype(self.dtype)
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class _GroupNormParams(nn.Module):
     """Declares nn.GroupNorm-compatible scale/bias params without applying
     the norm (for the fused Block kernel, which folds the stats itself)."""
@@ -449,9 +542,33 @@ class Block(nn.Module):
                     reduce_fn=jnp.maximum,
                     init_fn=lambda: jnp.zeros(()),
                 )
-            return int8_conv(x.astype(self.dtype), kernel, bias,
-                             act_scale=act_scale)
+            y = int8_conv(x.astype(self.dtype), kernel, bias,
+                          act_scale=act_scale)
+            return self._maybe_store_s8(y)
         return nn.Conv(self.dim_out, (3, 3), dtype=self.dtype)(x)
+
+    def _maybe_store_s8(self, y):
+        """s8 activation storage for the conv output (``ADT_INT8_STORE``):
+        snap onto the int8 grid of a calibrated static scale, so the map is
+        materialised in HBM at half the bytes — the downstream GroupNorm
+        normalise/FiLM/SiLU pass and residual/GCA reads are HBM-bound on
+        these full-resolution maps (PROFILE.md)."""
+        from ..ops.quant import int8_store_enabled, quant_store
+
+        if not int8_store_enabled():
+            return y
+        if self.has_variable("quant", "out_scale"):
+            return quant_store(
+                y, self.variable("quant", "out_scale", lambda: jnp.ones(())).value
+            )
+        self.sow(
+            "quant_stats",
+            "out_absmax",
+            jnp.max(jnp.abs(y.astype(jnp.float32))),
+            reduce_fn=jnp.maximum,
+            init_fn=lambda: jnp.zeros(()),
+        )
+        return y
 
 
 class GlobalContext(nn.Module):
@@ -522,15 +639,17 @@ class CrossEmbedLayer(nn.Module):
         # used for honest analytic-FLOPs counting and ablation)
         fuse = os.environ.get("ADT_FUSED_STEM", "1") != "0"
 
-        fused = jnp.zeros((k_max, k_max, cin, self.dim_out), jnp.float32)
-        fmaps, biases = [], []
-        start = 0
+        params = []
         for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
             kern, bias = _ConvParams(
                 features=dim_scale, kernel_size=kernel, name=f"Conv_{i}"
             )(cin)
-            pad = (kernel - self.stride) // 2
-            if not fuse:
+            params.append((kernel, dim_scale, kern, bias))
+
+        if not fuse:
+            fmaps = []
+            for kernel, dim_scale, kern, bias in params:
+                pad = (kernel - self.stride) // 2
                 fmaps.append(
                     jax.lax.conv_general_dilated(
                         x.astype(self.dtype),
@@ -541,26 +660,57 @@ class CrossEmbedLayer(nn.Module):
                     )
                     + bias.astype(self.dtype)
                 )
-                continue
-            # branch output o taps x[o*s - pad_i + t]; embedding at offset
-            # pad_max - pad_i inside the max window reproduces them exactly
-            off = pad_max - pad
-            fused = fused.at[
-                off : off + kernel, off : off + kernel, :, start : start + dim_scale
-            ].set(kern.astype(jnp.float32))
-            biases.append(bias)
-            start += dim_scale
-        if not fuse:
             return jnp.concatenate(fmaps, axis=-1)
-        bias = jnp.concatenate(biases)
-        out = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            fused.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(pad_max, pad_max), (pad_max, pad_max)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return out + bias.astype(self.dtype)
+
+        # Cluster adjacent kernel sizes and evaluate each cluster as ONE
+        # conv, embedding each branch kernel zero-padded at the centre of
+        # the cluster-max window (identical math for the reference's
+        # aligned-padding branches). Clustering bounds the zero-pad FLOP
+        # blow-up: one 15x15x128 conv for (3,7,15) is 240 GFLOP of padded
+        # work per eval, while {3,7}+{15} is ~100 GFLOP — measured ~35% MFU
+        # on the all-in-one variant made the stem the slowest conv in the
+        # v5e profile (PROFILE.md). Within a cluster the input is still
+        # read once and the bias adds/concat fuse away.
+        if os.environ.get("ADT_STEM_CLUSTER", "1") == "0":
+            clusters = [list(params)]  # all-in-one max-kernel fusion (ablation)
+        else:
+            clusters = []
+            for branch in params:
+                if clusters and (branch[0] / clusters[-1][0][0]) ** 2 <= 6:
+                    clusters[-1].append(branch)
+                else:
+                    clusters.append([branch])
+        fmaps = []
+        for cluster in clusters:
+            k_c = max(b[0] for b in cluster)
+            pad_c = (k_c - self.stride) // 2
+            dim_c = sum(b[1] for b in cluster)
+            fused = jnp.zeros((k_c, k_c, cin, dim_c), jnp.float32)
+            biases, start = [], 0
+            for kernel, dim_scale, kern, bias in cluster:
+                pad = (kernel - self.stride) // 2
+                # branch output o taps x[o*s - pad_i + t]; embedding at
+                # offset pad_c - pad_i inside the cluster window reproduces
+                # them exactly
+                off = pad_c - pad
+                fused = fused.at[
+                    off : off + kernel,
+                    off : off + kernel,
+                    :,
+                    start : start + dim_scale,
+                ].set(kern.astype(jnp.float32))
+                biases.append(bias)
+                start += dim_scale
+            bias = jnp.concatenate(biases)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                fused.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(pad_c, pad_c), (pad_c, pad_c)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            fmaps.append(out + bias.astype(self.dtype))
+        return fmaps[0] if len(fmaps) == 1 else jnp.concatenate(fmaps, axis=-1)
 
 
 def resize_image_to(image: jnp.ndarray, target_size: int) -> jnp.ndarray:

@@ -68,12 +68,15 @@ def _fwd_kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [blk_q, d]
-    k = k_ref[0].astype(jnp.float32)  # [blk_k, d]
-    v = v_ref[0].astype(jnp.float32)
+    # keep the dots in the input dtype: bf16 operands hit the MXU at full
+    # rate (a pre-cast to fp32 would run the matmul ~4-8x slower); the
+    # accumulation is fp32 either way via preferred_element_type
+    q = q_ref[0]  # [blk_q, d]
+    k = k_ref[0]  # [blk_k, d]
+    v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [blk_q, blk_k]
+    ) * scale  # [blk_q, blk_k], fp32 scores
     if masked:
         s = s + bias_ref[0, 0][None, :]
     m_prev, l_prev, acc = m_s[...], l_s[...], acc_s[...]
@@ -83,7 +86,8 @@ def _fwd_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_s[...], l_s[...], acc_s[...] = m_new, l_new, acc
 
@@ -164,20 +168,18 @@ def _dq_kernel(
     def _init():
         dq_s[...] = jnp.zeros_like(dq_s)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # dots stay in the input dtype (full MXU rate for bf16); fp32 accumulate
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    ) * scale
     if masked:
         s = s + bias_ref[0, 0][None, :]
     p = jnp.exp(s - lse_ref[0, 0][:, None])  # [blk_q, blk_k]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dl_ref[0, 0][:, None])
+    ds = (p * (dp - dl_ref[0, 0][:, None])).astype(k.dtype)
     dq_s[...] += scale * jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -203,23 +205,22 @@ def _dkv_kernel(
         dk_s[...] = jnp.zeros_like(dk_s)
         dv_s[...] = jnp.zeros_like(dv_s)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # dots stay in the input dtype (full MXU rate for bf16); fp32 accumulate
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
     if masked:
         s = s + bias_ref[0, 0][None, :]
     p = jnp.exp(s - lse_ref[0, 0][:, None])  # [blk_q, blk_k]
     dv_s[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dl_ref[0, 0][:, None])
+    ds = (p * (dp - dl_ref[0, 0][:, None])).astype(q.dtype)
     dk_s[...] += scale * jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -335,6 +336,24 @@ def _flash_bwd(scale, block_q, block_k, heads, res, g):
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _tuned_blocks(n_q: int, n_k: int, block_q: int, block_k: int):
+    """Per-call block autotune: 128x128 blocks make the grid latency-bound
+    (each step is two 4-MFLOP dots); the largest dividing blocks up to
+    512x1024 amortize grid-step overhead while the fp32 score block stays
+    well under VMEM (512*1024*4B = 2 MB of ~16 MB)."""
+    if block_q == DEFAULT_BLOCK_Q:
+        for cand in (512, 256):
+            if n_q % cand == 0:
+                block_q = cand
+                break
+    if block_k == DEFAULT_BLOCK_K:
+        for cand in (1024, 512, 256):
+            if n_k % cand == 0:
+                block_k = cand
+                break
+    return block_q, block_k
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -349,6 +368,7 @@ def flash_attention(
     ``mask``: optional [B, n_k] bool (True = attend)."""
     b, h, n_q, d = q.shape
     n_k = k.shape[2]
+    block_q, block_k = _tuned_blocks(n_q, n_k, block_q, block_k)
     qf = q.reshape(b * h, n_q, d)
     kf = k.reshape(b * h, n_k, d)
     vf = v.reshape(b * h, n_k, d)

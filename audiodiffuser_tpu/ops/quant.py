@@ -46,18 +46,20 @@ def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return xq, scale
 
 
-def _conv(x, w, strides, padding, out_dtype):
+def _conv(x, w, strides, padding, out_dtype, lhs_dilation=None):
     return jax.lax.conv_general_dilated(
         x,
         w,
         tuple(strides),
         padding,
+        lhs_dilation=lhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=out_dtype,
     )
 
 
-def _int8_conv_impl(x, w, bias, strides, padding, act_scale=None):
+def _int8_conv_impl(x, w, bias, strides, padding, act_scale=None,
+                    lhs_dilation=None):
     wq, ws = quantize_weight(w)
     if act_scale is None:
         xq, xs = quantize_activation(x)
@@ -69,15 +71,15 @@ def _int8_conv_impl(x, w, bias, strides, padding, act_scale=None):
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / xs), -127, 127
         ).astype(jnp.int8)
-    y = _conv(xq, wq, strides, padding, jnp.int32)
+    y = _conv(xq, wq, strides, padding, jnp.int32, lhs_dilation)
     y = y.astype(jnp.float32) * (xs * ws)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
-def _bf16_conv_impl(x, w, bias, strides, padding):
-    y = _conv(x, w.astype(x.dtype), strides, padding, jnp.float32)
+def _bf16_conv_impl(x, w, bias, strides, padding, lhs_dilation=None):
+    y = _conv(x, w.astype(x.dtype), strides, padding, jnp.float32, lhs_dilation)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -90,6 +92,7 @@ def int8_conv(
     strides: Sequence[int] = (1, 1),
     padding: str = "SAME",
     act_scale: Optional[jnp.ndarray] = None,
+    lhs_dilation: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """W8A8 conv with int32 MXU accumulation and straight-through gradients.
 
@@ -99,7 +102,8 @@ def int8_conv(
 
     @jax.custom_vjp
     def op(x, w, bias):
-        return _int8_conv_impl(x, w, bias, strides, padding, act_scale)
+        return _int8_conv_impl(x, w, bias, strides, padding, act_scale,
+                               lhs_dilation)
 
     def fwd(x, w, bias):
         return op(x, w, bias), (x, w, bias)
@@ -107,7 +111,9 @@ def int8_conv(
     def bwd(res, g):
         x, w, bias = res
         _, vjp = jax.vjp(
-            lambda x, w, bias: _bf16_conv_impl(x, w, bias, strides, padding),
+            lambda x, w, bias: _bf16_conv_impl(
+                x, w, bias, strides, padding, lhs_dilation
+            ),
             x, w, bias,
         )
         return vjp(g)
@@ -116,17 +122,110 @@ def int8_conv(
     return op(x, w, bias)
 
 
+def _int8_dense_impl(x, w, act_scale=None):
+    """W8A8 matmul over the last axis: x [..., Cin] @ w [Cin, Cout]."""
+    wq, ws = quantize_weight(w)
+    if act_scale is None:
+        xq, xs = quantize_activation(x)
+    else:
+        xs = jnp.asarray(act_scale, jnp.float32)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / xs), -127, 127
+        ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws)).astype(x.dtype)
+
+
+def int8_dense(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    act_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """W8A8 dense (int32 MXU accumulation) with straight-through gradients:
+    the backward is the bf16 matmul VJP on the unquantised operands."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        return _int8_dense_impl(x, w, act_scale)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        _, vjp = jax.vjp(
+            lambda x, w: jnp.einsum("...i,io->...o", x, w.astype(x.dtype)), x, w
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op(x, w)
+
+
+def quant_store(y: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Snap ``y`` onto the int8 grid ``scale * [-127, 127]`` (fake-quant).
+
+    Written at producer/consumer seams (Block conv outputs), this lets XLA
+    materialise the tensor in HBM as s8 + a trace-constant scale — the
+    clip/round fuses into the producer's epilogue and the dequant multiply
+    into each consumer (the same storage pattern XLA already applies to the
+    int8 conv inputs, see the ``add_convert_fusion`` ops in PROFILE.md) —
+    halving the HBM bytes of every read of the full-resolution maps.
+    Gradients are straight-through (inference-only path in practice: the
+    'quant' collection is only bound when ``train=False``)."""
+
+    @jax.custom_vjp
+    def op(y):
+        s = jnp.asarray(scale, jnp.float32)
+        q = jnp.clip(
+            jnp.round(y.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
+        return (q.astype(jnp.float32) * s).astype(y.dtype)
+
+    op.defvjp(lambda y: (op(y), None), lambda _, g: (g,))
+    return op(y)
+
+
+def int8_store_enabled() -> bool:
+    """s8 activation storage at Block conv-output seams (``ADT_INT8_STORE``,
+    default ON whenever ``ADT_INT8=1``; =0 opts out)."""
+    return int8_enabled() and os.environ.get("ADT_INT8_STORE", "1") != "0"
+
+
+def int8_dense_eligible(cin: int, cout: int) -> bool:
+    """Lane-aligned matmul shapes only (the MXU int8 path wants 128-aligned
+    contraction and output dims). Covers the attention QKV/out projections
+    and transformer feedforwards at the deep UNet levels (dim 256).
+    ``ADT_INT8_DENSE=0`` opts out (ablation)."""
+    return (
+        int8_enabled()
+        and os.environ.get("ADT_INT8_DENSE", "1") != "0"
+        and cin % 128 == 0
+        and cout % 128 == 0
+    )
+
+
+def int8_seam_enabled() -> bool:
+    """Up/downsample seam convs (pixel-shuffle / space-to-depth 2x2) on the
+    W8A8 path (``ADT_INT8_SEAM``, default ON with ``ADT_INT8=1``; =0 opts
+    out). Unlike Block convs their inputs are not GroupNorm-normalised, so
+    the static scales matter more — covered by the same FAD gate."""
+    return int8_enabled() and os.environ.get("ADT_INT8_SEAM", "1") != "0"
+
+
 def stats_to_scales(quant_stats) -> dict:
     """Convert a sown ``quant_stats`` collection (per-module ``act_absmax``
     maxima) into the ``quant`` collection (per-module ``act_scale``) that the
     Block int8 path reads for static quantization."""
 
+    _renames = {"act_absmax": "act_scale", "out_absmax": "out_scale"}
+
     def walk(node):
         if isinstance(node, dict):
-            return {
-                ("act_scale" if k == "act_absmax" else k): walk(v)
-                for k, v in node.items()
-            }
+            return {_renames.get(k, k): walk(v) for k, v in node.items()}
         value = node[0] if isinstance(node, (tuple, list)) else node
         return jnp.maximum(jnp.asarray(value, jnp.float32), 1e-12) / 127.0
 

@@ -37,6 +37,13 @@ def capture(batch: int, trace_dir: str) -> None:
     params = task.net.init(
         jax.random.key(0), x0, jnp.zeros((1,)), classes=classes[:1]
     )["params"]
+    from audiodiffuser_tpu.ops.quant import int8_enabled
+
+    if int8_enabled():
+        # profile the actual bench configuration: static calibrated scales
+        # (the dynamic-quant variant has extra absmax/requant passes that
+        # static mode fuses away — see PROFILE.md)
+        task.calibrate_int8_scales(params, jax.random.key(7))
     sample_fn = jax.jit(task.make_sample_fn())
     key = jax.random.key(1)
     compiled = sample_fn.lower(params, key, classes).compile()
