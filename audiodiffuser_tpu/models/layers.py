@@ -666,12 +666,15 @@ class CrossEmbedLayer(nn.Module):
         # conv, embedding each branch kernel zero-padded at the centre of
         # the cluster-max window (identical math for the reference's
         # aligned-padding branches). Clustering bounds the zero-pad FLOP
-        # blow-up: one 15x15x128 conv for (3,7,15) is 240 GFLOP of padded
-        # work per eval, while {3,7}+{15} is ~100 GFLOP — measured ~35% MFU
-        # on the all-in-one variant made the stem the slowest conv in the
-        # v5e profile (PROFILE.md). Within a cluster the input is still
-        # read once and the bias adds/concat fuse away.
-        if os.environ.get("ADT_STEM_CLUSTER", "1") == "0":
+        # blow-up ({3,7}+{15} is ~100 GFLOP of padded work vs 240 GFLOP
+        # all-in-one), but the v5e ablation (2026-08-17) measured the
+        # all-in-one max-kernel stem FASTER end-to-end: 17.90 vs 16.34
+        # samples/s — two strided stem convs cost more in launch + relayout
+        # than the padded FLOPs they save, because the big fused conv still
+        # runs on the MXU at a higher absolute rate. Default is therefore
+        # the all-in-one fusion; ADT_STEM_CLUSTER=1 opts into clustering
+        # (useful on smaller parts where the padded FLOPs dominate).
+        if os.environ.get("ADT_STEM_CLUSTER", "0") == "0":
             clusters = [list(params)]  # all-in-one max-kernel fusion (ablation)
         else:
             clusters = []

@@ -120,10 +120,10 @@ def test_stem_cluster_parity(monkeypatch):
     y_unfused = mod.apply(p, x)
 
     monkeypatch.setenv("ADT_FUSED_STEM", "1")
-    monkeypatch.setenv("ADT_STEM_CLUSTER", "0")  # all-in-one max-kernel fusion
+    monkeypatch.setenv("ADT_STEM_CLUSTER", "0")  # all-in-one max-kernel (default)
     y_allinone = mod.apply(p, x)
 
-    monkeypatch.setenv("ADT_STEM_CLUSTER", "1")  # clustered (default)
+    monkeypatch.setenv("ADT_STEM_CLUSTER", "1")  # clustered (opt-in)
     y_cluster = mod.apply(p, x)
 
     np.testing.assert_allclose(
