@@ -190,19 +190,25 @@ def quant_store(y: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 
 
 def int8_store_enabled() -> bool:
-    """s8 activation storage at Block conv-output seams (``ADT_INT8_STORE``,
-    default ON whenever ``ADT_INT8=1``; =0 opts out)."""
-    return int8_enabled() and os.environ.get("ADT_INT8_STORE", "1") != "0"
+    """s8 activation storage at Block conv-output seams (``ADT_INT8_STORE=1``
+    opt-in). v5e ablation (2026-08-17, batch-128/32-Heun): 17.53 vs 17.90
+    samples/s — the extra quant/dequant round trips cost more than the halved
+    seam bytes on this compute-bound workload. Kept as a memory lever for
+    activation-capped regimes (e.g. larger microbatches)."""
+    return int8_enabled() and os.environ.get("ADT_INT8_STORE", "0") == "1"
 
 
 def int8_dense_eligible(cin: int, cout: int) -> bool:
     """Lane-aligned matmul shapes only (the MXU int8 path wants 128-aligned
     contraction and output dims). Covers the attention QKV/out projections
     and transformer feedforwards at the deep UNet levels (dim 256).
-    ``ADT_INT8_DENSE=0`` opts out (ablation)."""
+    ``ADT_INT8_DENSE=1`` opts in. v5e ablation (2026-08-17): 17.91 vs 17.90
+    samples/s on the flagship bench — the deep-level matmuls are too small a
+    slice there to move the headline; the path matters for attention-heavy
+    nets (DiT serving)."""
     return (
         int8_enabled()
-        and os.environ.get("ADT_INT8_DENSE", "1") != "0"
+        and os.environ.get("ADT_INT8_DENSE", "0") == "1"
         and cin % 128 == 0
         and cout % 128 == 0
     )
@@ -210,10 +216,12 @@ def int8_dense_eligible(cin: int, cout: int) -> bool:
 
 def int8_seam_enabled() -> bool:
     """Up/downsample seam convs (pixel-shuffle / space-to-depth 2x2) on the
-    W8A8 path (``ADT_INT8_SEAM``, default ON with ``ADT_INT8=1``; =0 opts
-    out). Unlike Block convs their inputs are not GroupNorm-normalised, so
-    the static scales matter more — covered by the same FAD gate."""
-    return int8_enabled() and os.environ.get("ADT_INT8_SEAM", "1") != "0"
+    W8A8 path (``ADT_INT8_SEAM=1`` opt-in). Unlike Block convs their inputs
+    are not GroupNorm-normalised, so the static scales matter more — covered
+    by the same FAD gate. v5e ablation (2026-08-17): 17.79 vs 17.90
+    samples/s — the polyphase relayout around the seam convs dominates their
+    cost, so quantizing them doesn't pay on the flagship bench."""
+    return int8_enabled() and os.environ.get("ADT_INT8_SEAM", "0") == "1"
 
 
 def stats_to_scales(quant_stats) -> dict:

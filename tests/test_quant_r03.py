@@ -67,6 +67,7 @@ def test_quantdense_param_tree_and_paths(monkeypatch):
     )
 
     monkeypatch.setenv("ADT_INT8", "1")
+    monkeypatch.setenv("ADT_INT8_DENSE", "1")  # opt-in tier (v5e ablation)
     y_q = q_mod.apply(p, x)
     r = _rel_rms(y_q, ref_mod.apply(p, x))
     assert 0 < r < 0.03, r
