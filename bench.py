@@ -136,11 +136,39 @@ def run(BATCH):
 
     if int8_enabled():
         # static-scale W8A8: calibrate per-layer activation scales over the
-        # sigma grid once, so quantization fuses into the SiLU producers
-        t0 = time.perf_counter()
-        task.calibrate_int8_scales(params, jax.random.key(7))
-        print(f"# int8 calibration: {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr)
+        # sigma grid once, so quantization fuses into the SiLU producers.
+        # The scales are deterministic in (params, knobs, sigma grid), and
+        # bench params are a fixed init — cache them next to the compile
+        # cache so repeat runs skip the ~2-8 min probe.
+        import hashlib
+        import pickle
+
+        fp = hashlib.sha1()
+        leaves = jax.tree_util.tree_leaves(params)
+        fp.update(repr([(l.shape, str(l.dtype)) for l in leaves]).encode())
+        fp.update(
+            np.asarray(
+                [float(jnp.sum(jnp.abs(l))) for l in leaves], np.float64
+            ).tobytes()
+        )
+        knobs = sorted(
+            (k, v) for k, v in os.environ.items() if k.startswith("ADT_")
+        )
+        fp.update(repr(knobs).encode())
+        fp.update(f"steps={STEPS}".encode())
+        scale_cache = _CACHE / f"int8_scales_{fp.hexdigest()[:16]}.pkl"
+        if scale_cache.exists():
+            task.quant_scales = pickle.loads(scale_cache.read_bytes())
+            print(f"# int8 calibration: cached ({scale_cache.name})",
+                  file=sys.stderr)
+        else:
+            t0 = time.perf_counter()
+            task.calibrate_int8_scales(params, jax.random.key(7))
+            print(f"# int8 calibration: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            scale_cache.write_bytes(
+                pickle.dumps(jax.device_get(task.quant_scales))
+            )
 
     sample_fn = jax.jit(task.make_sample_fn())
 

@@ -73,14 +73,28 @@ def run_variant(batch: int, steps: int) -> None:
         )
         return loss, jax.tree.map(lambda g: jnp.mean(jnp.abs(g)), grads)
 
+    # static memory accounting from the compiled module: device
+    # memory_stats() is unavailable through the axon tunnel, but the
+    # compiler's own allocation analysis shows the O(N^2)-vs-O(N*D)
+    # backward-temporary difference directly.
     t0 = time.perf_counter()
-    loss, _ = train_step(params, jax.random.key(2))
+    compiled = train_step.lower(params, jax.random.key(2)).compile()
+    t_compile = time.perf_counter() - t0
+    temp_gb = None
+    try:
+        mem = compiled.memory_analysis()
+        temp_gb = round(mem.temp_size_in_bytes / 2**30, 2)
+    except Exception:
+        pass
+
+    t0 = time.perf_counter()
+    loss, _ = compiled(params, jax.random.key(2))
     float(loss)
-    t_first = time.perf_counter() - t0
+    t_first = time.perf_counter() - t0 + t_compile
 
     t0 = time.perf_counter()
     for i in range(steps):
-        loss, _ = train_step(params, jax.random.fold_in(jax.random.key(2), i))
+        loss, _ = compiled(params, jax.random.fold_in(jax.random.key(2), i))
     float(loss)
     t_step = (time.perf_counter() - t0) / steps
 
@@ -91,6 +105,7 @@ def run_variant(batch: int, steps: int) -> None:
         "batch": batch,
         "first_step_s": round(t_first, 1),
         "step_ms": round(t_step * 1e3, 1),
+        "temp_mem_gb": temp_gb,
         "peak_mem_gb": round(peak / 2**30, 2),
         "loss": float(loss),
     }))
