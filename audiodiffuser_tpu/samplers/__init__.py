@@ -8,7 +8,7 @@ Four families matching the reference's four sampler files:
 - ``rf``         rectified-flow velocity nets
 """
 
-from . import edm, rf, stochastic, vobj
+from . import edm, pf, rf, stochastic, vobj
 from .base import BrownianBridgeNoise, ancestral_sigmas, append_zero, churn_gammas
 from .edm import (
     DPM2MSampler,
@@ -21,6 +21,7 @@ from .edm import (
     VESampler,
     VPSampler,
 )
+from .pf import PFDiffSampler
 from .stochastic import ADPM2Sampler, ADPMPP2SSampler, DPMPPSDESampler
 from .vobj import VEulerSampler, VSampler
 
@@ -35,6 +36,7 @@ __all__ = [
     "EDMAlphaSampler",
     "EDMSampler",
     "LMSSampler",
+    "PFDiffSampler",
     "UniPCSampler",
     "VESampler",
     "VPSampler",
@@ -44,6 +46,7 @@ __all__ = [
     "append_zero",
     "churn_gammas",
     "edm",
+    "pf",
     "rf",
     "stochastic",
     "vobj",
