@@ -440,6 +440,8 @@ class Trainer:
             if (
                 epoch % self.ckpt_last_every_n_epochs == 0
                 or epoch == self.max_epochs
+                or epoch == 1  # resumability from the very first epoch: a
+                # crash inside the first cadence window must not lose the run
                 or done
             ):
                 self.save_checkpoint(state, name="last")

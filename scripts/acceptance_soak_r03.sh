@@ -52,9 +52,13 @@ fi
 if run_phase 2; then
   banner "2: flagship conditional training — SIGKILLed mid-run once stepping"
   python train.py "${TRAIN_ARGS[@]}" & TPID=$!
-  for _ in $(seq 1 200); do
+  # Kill only after a resumable 'last' checkpoint EXISTS (it is written
+  # every ckpt_last_every_n_epochs); killing on csv progress alone can land
+  # before the first checkpoint and silently turn phase 3 into a fresh
+  # start (observed in the first round-3 soak run).
+  for _ in $(seq 1 400); do
     rows=$(wc -l < "$WORK/train/csv/metrics.csv" 2>/dev/null || echo 0)
-    [ "${rows:-0}" -gt 10 ] && break
+    [ "${rows:-0}" -gt 10 ] && [ -d "$WORK/train/checkpoints/last" ] && break
     kill -0 "$TPID" 2>/dev/null || break
     sleep 15
   done
