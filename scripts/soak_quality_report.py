@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Assemble the round-3 soak quality report (FAD + conditional accuracy).
+
+Runs scripts/eval_quality.py over every ``eval_*/test_samples`` directory in
+the soak work dir, plus the real-vs-real control and the direct
+int8-vs-bf16 gate at the 32-Heun headline leg, and writes a markdown table.
+
+Usage:
+    python scripts/soak_quality_report.py --work /tmp/soak_r03 \
+        --data /tmp/sc09_soak_r03 --out logs/soak_r03/QUALITY.md
+"""
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).parents[1]
+
+
+def run_quality(samples, real, embedder, platform):
+    cmd = [sys.executable, str(ROOT / "scripts/eval_quality.py"),
+           "--samples", str(samples), "--real", str(real),
+           "--embedder-ckpt", str(embedder), "--json"]
+    if platform:
+        cmd += ["--platform", platform]
+    p = subprocess.run(cmd, capture_output=True, text=True)
+    for line in reversed(p.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": (p.stderr or "no output").strip()[-400:]}
+
+
+def run_fad(real, fake, embedder, platform):
+    cmd = [sys.executable, str(ROOT / "scripts/compute_fad.py"),
+           "--real", str(real), "--fake", str(fake),
+           "--embedder", "vggish", "--embedder-ckpt", str(embedder), "--json"]
+    if platform:
+        cmd += ["--platform", platform]
+    p = subprocess.run(cmd, capture_output=True, text=True)
+    for line in reversed(p.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line).get("fad")
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    work, data = Path(args.work), Path(args.data)
+    embedder = work / "embedder"
+    real = data / "train"
+
+    rows = []
+    control = run_quality(data / "valid", real, embedder, args.platform)
+    rows.append(("real valid vs train (control floor)", control))
+    for d in sorted(work.glob("eval_*")):
+        samples = d / "test_samples"
+        if samples.is_dir():
+            rows.append((d.name, run_quality(samples, real, embedder, args.platform)))
+
+    heun_bf16 = work / "eval_heun_32" / "test_samples"
+    heun_int8 = work / "eval_heun_32_int8" / "test_samples"
+    direct = None
+    if heun_bf16.is_dir() and heun_int8.is_dir():
+        direct = run_fad(heun_bf16, heun_int8, embedder, args.platform)
+
+    floor = control.get("fad")
+    out = ["# Round-3 soak quality report", "",
+           "Learned-embedder (VGGish SC09 classifier) metrics over the",
+           "2048-sample eval legs. `cond_acc` = classifier accuracy of the",
+           "generated samples against their conditioning class", ""]
+    out.append("| leg | FAD | per-class FAD (mean) | cond_acc |")
+    out.append("|---|---|---|---|")
+    for name, r in rows:
+        out.append(
+            f"| {name} | {r.get('fad', 'err')} | "
+            f"{r.get('fad_per_class_mean', '—')} | "
+            f"{r.get('cond_accuracy', '—')} |"
+        )
+    out.append("")
+    if direct is not None and floor:
+        verdict = "ACCEPT" if direct <= 2 * floor else "REJECT"
+        out.append(
+            f"Direct int8-vs-bf16 FAD at 32-Heun: **{direct}** vs control "
+            f"floor {floor} -> int8 serving gate (threshold 2x floor): "
+            f"**{verdict}**"
+        )
+    outp = Path(args.out)
+    outp.parent.mkdir(parents=True, exist_ok=True)
+    outp.write_text("\n".join(out) + "\n")
+    print(f"wrote {outp}")
+    for line in out:
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
