@@ -101,6 +101,7 @@ class Trainer:
         param_sharding: str = "replicated",  # 'replicated' (DP), 'fsdp' or 'tp'
         fsdp_min_size: int = 2**14,  # shard arrays with >= this many elements
         tp_axis_size: int = 2,  # 'tp': size of the model axis (dp x model mesh)
+        sequence_parallel: int = 0,  # >1: shard activations over tokens ('sp' axis)
         ckpt_keep_last: Optional[int] = None,  # prune old epoch_* checkpoints
         overfit_batches: int = 0,  # train AND validate on the first N batches
         limit_test_batches: Optional[int] = None,
@@ -160,6 +161,36 @@ class Trainer:
                     f"{tp_axis_size}; falling back to replicated params"
                 )
                 self.param_sharding = "replicated"
+        # sequence parallelism: activations sharded over tokens end to end —
+        # the net's attention_core hook is swapped for the ring-attention
+        # core (ops/context_parallel.py), token mixing runs inside a
+        # shard_map over the 'sp' axis, and GSPMD keeps the pointwise ops
+        # (LayerNorm/MLP/modulation) on the sharded token axis in between.
+        # Composes with data parallelism on a 2D (data x sp) mesh.
+        self.sequence_parallel = int(sequence_parallel or 0)
+        if self.sequence_parallel > 1:
+            n = self.mesh.devices.size
+            if n % self.sequence_parallel or self.param_sharding != "replicated":
+                print(
+                    f"[trainer] sequence_parallel={self.sequence_parallel} "
+                    f"needs a dividing device count ({n} devices) and "
+                    f"param_sharding='replicated'; disabling"
+                )
+                self.sequence_parallel = 0
+            elif not hasattr(getattr(task, "net", None), "attention_core"):
+                print(
+                    "[trainer] net has no attention_core hook (DiT-style "
+                    "backbones only); disabling sequence_parallel"
+                )
+                self.sequence_parallel = 0
+            else:
+                if "sp" not in self.mesh.shape:
+                    self.mesh = create_mesh(
+                        {"data": n // self.sequence_parallel,
+                         "sp": self.sequence_parallel},
+                        devices=list(self.mesh.devices.flat),
+                    )
+                self._wire_sp_core()
         self._epochs_without_improvement = 0
         self.overfit_batches = overfit_batches
         self.limit_test_batches = limit_test_batches
@@ -171,15 +202,29 @@ class Trainer:
         self._sample_fn = None
         self._ckpt = ocp.PyTreeCheckpointer()
 
+    def _wire_sp_core(self):
+        """(Re)bind the ring-attention core to the CURRENT mesh — the core
+        closes over the mesh, so any mesh rebuild must re-wire it."""
+        from ..ops.context_parallel import make_ring_attention_core
+
+        batch_ax = "data" if self.mesh.shape.get("data", 1) > 1 else None
+        self.task.net = self.task.net.clone(
+            attention_core=make_ring_attention_core(
+                self.mesh, "sp", batch_axis=batch_ax
+            )
+        )
+
     def _fit_mesh_to_batch(self, batch_size: int):
         """Shrink the data axis to a divisor of the batch size if needed.
 
-        Under ``param_sharding='tp'`` only the data axis shrinks — the model
-        axis must survive or ``tp_shardings(self.mesh)`` would KeyError on
-        ``mesh.shape['model']``.
+        Only the data axis shrinks — non-data axes ('model' under
+        ``param_sharding='tp'``, 'sp' under ``sequence_parallel``) must
+        survive: ``tp_shardings`` KeyErrors without ``mesh.shape['model']``
+        and the ring-attention core is bound to the 'sp' axis.
         """
-        model = self.mesh.shape.get("model", 1) if "model" in self.mesh.shape else 1
-        data = self.mesh.devices.size // model
+        extra = {a: s for a, s in self.mesh.shape.items() if a != "data"}
+        n_extra = int(np.prod(list(extra.values()))) if extra else 1
+        data = self.mesh.devices.size // n_extra
         if batch_size % data == 0:
             return
         use = 1
@@ -191,11 +236,13 @@ class Trainer:
             f"[trainer] batch size {batch_size} not divisible by {data} "
             f"data-axis devices; using a {use}-device data axis"
         )
-        devices = self.mesh.devices.reshape(-1)[: use * model]
-        if model > 1:
-            self.mesh = create_mesh({"data": use, "model": model}, devices=devices)
+        devices = self.mesh.devices.reshape(-1)[: use * n_extra]
+        if extra:
+            self.mesh = create_mesh({"data": use, **extra}, devices=devices)
         else:
             self.mesh = create_mesh(devices=devices)
+        if self.sequence_parallel > 1:
+            self._wire_sp_core()
 
     # -- state ---------------------------------------------------------------
     def init_state(self, example_batch) -> TrainState:

@@ -143,6 +143,7 @@ def build_trainer_and_task(cfg, output_dir):
                 "param_sharding",
                 "fsdp_min_size",
                 "tp_axis_size",
+                "sequence_parallel",
                 "ckpt_keep_last",
             )
         }
