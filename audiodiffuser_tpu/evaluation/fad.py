@@ -124,7 +124,7 @@ def compute_fad(
     return frechet_distance(mu_r, s_r, mu_g, s_g)
 
 
-def _iter_dir(path, batch_size=32):
+def _iter_dir(path, batch_size=128):
     files = sorted(Path(path).rglob("*.wav"))
     for i in range(0, len(files), batch_size):
         chunk = files[i : i + batch_size]
@@ -133,5 +133,34 @@ def _iter_dir(path, batch_size=32):
         yield np.stack([a[:n] for a in audios])
 
 
-def fad_between_dirs(real_dir, fake_dir, embedder=None) -> float:
-    return compute_fad(_iter_dir(real_dir), _iter_dir(fake_dir), embedder)
+def dir_stats(
+    path, embedder=None, cache_key: str = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gaussian (mu, sigma) of a directory's embeddings.
+
+    With ``cache_key`` (e.g. the embedder checkpoint fingerprint), the stats
+    are memoised in ``<dir>/.fad_stats_<key>.npz`` so repeated comparisons
+    against the same corpus (one real set vs many generated sets) embed it
+    only once. Stats from different embedders never collide: the key must
+    identify the embedder.
+    """
+    cache = Path(path) / f".fad_stats_{cache_key}.npz" if cache_key else None
+    if cache is not None and cache.exists():
+        z = np.load(cache)
+        return z["mu"], z["sigma"]
+    embedder = embedder or LogMelEmbedder()
+    emb = np.concatenate([embedder(b) for b in _iter_dir(path)], axis=0)
+    mu, sigma = gaussian_stats(emb)
+    if cache is not None:
+        import os
+
+        tmp = cache.with_name(cache.name + ".tmp.npz")
+        np.savez(tmp, mu=mu, sigma=sigma)
+        os.replace(tmp, cache)
+    return mu, sigma
+
+
+def fad_between_dirs(real_dir, fake_dir, embedder=None, cache_key=None) -> float:
+    mu_r, s_r = dir_stats(real_dir, embedder, cache_key)
+    mu_g, s_g = dir_stats(fake_dir, embedder, cache_key)
+    return frechet_distance(mu_r, s_r, mu_g, s_g)

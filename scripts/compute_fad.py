@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--embedder-ckpt", default=None)
     ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS", ""))
     ap.add_argument("--json", action="store_true", help="print one JSON line")
+    ap.add_argument(
+        "--no-cache",
+        action="store_true",
+        help="disable the per-directory embedding-stats cache "
+        "(.fad_stats_<embedder-fingerprint>.npz)",
+    )
     args = ap.parse_args()
 
     embedder = None
@@ -55,7 +61,8 @@ def main():
 
     from audiodiffuser_tpu.evaluation.fad import fad_between_dirs
 
-    fad = fad_between_dirs(args.real, args.fake, embedder)
+    cache_key = None if args.no_cache else f"{args.embedder}-{fingerprint}"
+    fad = fad_between_dirs(args.real, args.fake, embedder, cache_key=cache_key)
     if args.json:
         print(json.dumps({"fad": round(fad, 4), "embedder": args.embedder,
                           "embedder_fingerprint": fingerprint}))
