@@ -51,3 +51,31 @@ def test_fad_orders_similarity():
     fad_noise = compute_fad(real, noise)
     assert fad_similar < fad_noise
     assert compute_fad(real, real) < 1e-4
+
+
+def test_dir_stats_cache_roundtrip(tmp_path):
+    """dir_stats memoises (mu, sigma) per cache_key and ignores stale keys."""
+    from audiodiffuser_tpu.data.sc09 import save_wav
+    from audiodiffuser_tpu.evaluation.fad import dir_stats, fad_between_dirs
+
+    rng = np.random.default_rng(3)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for i in range(6):
+        save_wav(str(a / f"{i}.wav"), rng.standard_normal(8000).astype(np.float32) * 0.1, 16000)
+        save_wav(str(b / f"{i}.wav"), rng.standard_normal(8000).astype(np.float32) * 0.1, 16000)
+
+    mu1, s1 = dir_stats(a, cache_key="k1")
+    cache = a / ".fad_stats_k1.npz"
+    assert cache.exists()
+    mu2, s2 = dir_stats(a, cache_key="k1")  # cache hit
+    np.testing.assert_array_equal(mu1, mu2)
+    np.testing.assert_array_equal(s1, s2)
+    # a poisoned cache under a DIFFERENT key must not be read
+    np.savez(a / ".fad_stats_other.npz", mu=mu1 + 100, sigma=s1)
+    mu3, _ = dir_stats(a, cache_key="k1")
+    np.testing.assert_array_equal(mu1, mu3)
+    # cached and uncached FAD agree
+    f_cached = fad_between_dirs(a, b, cache_key="k1")
+    f_fresh = fad_between_dirs(a, b)
+    assert abs(f_cached - f_fresh) < 1e-6
