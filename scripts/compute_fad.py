@@ -35,12 +35,13 @@ def main():
     ap.add_argument("--fake", required=True)
     ap.add_argument("--embedder", choices=["logmel", "vggish"], default="logmel")
     ap.add_argument("--embedder-ckpt", default=None)
-    # Default the embedder to CPU: the VGGish forward over a full corpus is
-    # only ~1.7 GFLOP/clip (minutes on host), while running it through the
-    # remote-TPU tunnel pays a per-call transfer cost that dominates wall
-    # clock and leaks host memory in the tunnel client (observed >80 GB RSS
-    # over a 10k-clip corpus). Set JAX_PLATFORMS or --platform to override.
-    ap.add_argument("--platform", default=os.environ.get("JAX_PLATFORMS") or "cpu")
+    # Default the embedder to CPU unconditionally (not via JAX_PLATFORMS —
+    # this machine's site config pins that to the remote-TPU tunnel): the
+    # VGGish forward over a full corpus is only ~1.7 GFLOP/clip (minutes on
+    # host), while the tunnel pays a per-call transfer cost that dominates
+    # wall clock and leaks host memory in the tunnel client (observed >80 GB
+    # RSS over a 10k-clip corpus). --platform overrides explicitly.
+    ap.add_argument("--platform", default="cpu")
     ap.add_argument("--json", action="store_true", help="print one JSON line")
     ap.add_argument(
         "--no-cache",
