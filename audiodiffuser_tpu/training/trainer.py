@@ -645,15 +645,40 @@ class Trainer:
         try:
             payload = self._ckpt.restore(str(Path(path).absolute()), item=target)
         except Exception:
-            # older checkpoints lack epoch/best_val_loss — restore without them
-            legacy = {
-                k: v
-                for k, v in target.items()
-                if k not in ("epoch", "best_val_loss")
-            }
-            payload = dict(
-                self._ckpt.restore(str(Path(path).absolute()), item=legacy)
-            )
+            try:
+                # older checkpoints lack epoch/best_val_loss — restore without
+                # them
+                legacy = {
+                    k: v
+                    for k, v in target.items()
+                    if k not in ("epoch", "best_val_loss")
+                }
+                payload = dict(
+                    self._ckpt.restore(str(Path(path).absolute()), item=legacy)
+                )
+            except Exception:
+                # structural mismatch beyond the legacy keys — typically the
+                # eval-time task was built with a different EMA configuration
+                # than the training run (e.g. use_ema=False against an
+                # EMA-trained checkpoint), so the ema_state/opt_state
+                # templates disagree with what is on disk. Restore the raw
+                # on-disk tree without a template and take only the pieces
+                # whose structure is template-free (params + scalars); the
+                # optimizer/EMA state keeps its freshly-initialised value,
+                # which is sufficient for inference but NOT a faithful
+                # training resume — warn loudly so a resume user notices.
+                raw = self._ckpt.restore(str(Path(path).absolute()))
+                print(
+                    "[trainer] checkpoint template mismatch for "
+                    f"{path}; restored params only (optimizer/EMA state "
+                    "re-initialised). Fine for eval; do not treat this as a "
+                    "faithful training resume."
+                )
+                payload = dict(target)
+                payload["params"] = raw["params"]
+                for k in ("step", "cur_nitem", "epoch", "best_val_loss"):
+                    if isinstance(raw, dict) and raw.get(k) is not None:
+                        payload[k] = raw[k]
         best = float(payload.get("best_val_loss", 1e30))
         if best < 1e29:
             self.best_val_loss = min(self.best_val_loss, best)

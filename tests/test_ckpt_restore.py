@@ -1,0 +1,99 @@
+"""Checkpoint restore tolerance: an eval-time task built with a different
+EMA configuration than the training run must still restore params (the
+reference's Lightning ``load_from_checkpoint(strict=...)`` covers this shape
+of mismatch; here orbax templates are strict, so the trainer retries with a
+template-free restore)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audiodiffuser_tpu.diffusion import EluDiffusion
+from audiodiffuser_tpu.models.unet1d import UNet1dBase
+from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
+from audiodiffuser_tpu.ops.schedules import KarrasSchedule
+from audiodiffuser_tpu.samplers.edm import EDMSampler
+from audiodiffuser_tpu.tasks.waveform_task import DiffusionWaveformTask
+from audiodiffuser_tpu.training.trainer import Trainer
+
+
+def _net():
+    return UNet1dBase(
+        channels=16,
+        class_cond=False,
+        num_filters=16,
+        window_length=4,
+        stride=2,
+        in_channels=1,
+        multipliers=[1, 2],
+        factors=[2],
+        num_blocks=[1],
+        attentions=[False],
+        attention_heads=2,
+        attention_multiplier=2,
+        resnet_groups=8,
+        kernel_multiplier_downsample=2,
+        use_nearest_upsample=False,
+        use_skip_scale=True,
+        use_attention_bottleneck=False,
+    )
+
+
+def _task(use_ema: bool):
+    return DiffusionWaveformTask(
+        net=_net(),
+        diffusion=EluDiffusion(sigma_data=0.3),
+        sampler=EDMSampler(s_churn=0.0, num_steps=2, use_heun=False),
+        noise_scheduler=KarrasSchedule(0.01, 10.0, num_steps=2),
+        noise_distribution=LogNormalDistribution(-1.2, 1.2),
+        generated_sample_length=64,
+        generated_sample_class=1,
+        use_ema=use_ema,
+        use_phema=False,
+    )
+
+
+def _batch(n=4):
+    rng = np.random.default_rng(0)
+    return {
+        "audio": rng.standard_normal((n, 64)).astype(np.float32) * 0.1,
+        "label": np.zeros((n,), np.int32),
+    }
+
+
+def test_restore_across_ema_template_mismatch(tmp_path, capsys):
+    # train-side state WITH EMA, saved to disk
+    t1 = Trainer(
+        task=_task(use_ema=True),
+        optimizer=optax.adamw(1e-3),
+        output_dir=str(tmp_path / "train"),
+    )
+    s1 = t1.init_state(_batch())
+    assert s1.ema_state is not None
+    t1.save_checkpoint(s1, "last")
+
+    # eval-side task built WITHOUT EMA: template has ema_state=None, which
+    # structurally mismatches the on-disk dict — must fall back to a
+    # params-only restore instead of raising
+    t2 = Trainer(
+        task=_task(use_ema=False),
+        optimizer=optax.adamw(1e-3),
+        output_dir=str(tmp_path / "eval"),
+    )
+    s2 = t2.init_state(_batch())
+    assert s2.ema_state is None
+    # perturb so a successful restore is observable
+    s2 = s2.replace(params=jax.tree.map(lambda p: p + 1.0, s2.params))
+
+    restored = t2.restore_checkpoint(
+        str(tmp_path / "train" / "checkpoints" / "last"), s2
+    )
+    out = capsys.readouterr().out
+    assert "template mismatch" in out
+    a = jax.tree.leaves(jax.device_get(s1.params))
+    b = jax.tree.leaves(jax.device_get(restored.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+    # EMA state stays at the eval template's value (None)
+    assert restored.ema_state is None
