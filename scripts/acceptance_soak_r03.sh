@@ -75,11 +75,29 @@ fi
 
 if run_phase 3; then
   banner "3: crash-resume from checkpoints/last to epoch $TOTAL_EPOCHS"
-  RESUME=()
-  [ -d "$WORK/train/checkpoints/last" ] \
-    && RESUME=(ckpt_path="$WORK/train/checkpoints/last") \
-    || echo "WARNING: no 'last' checkpoint found; starting fresh"
-  python train.py "${TRAIN_ARGS[@]}" ${RESUME[@]+"${RESUME[@]}"}
+  # Auto-restarting resume loop: the dev-tunnel TPU worker itself can crash
+  # mid-run ("TPU worker process crashed or restarted", observed at epoch 60
+  # of the first round-3 soak — the soak then silently evaluated a 1/4-trained
+  # checkpoint). Progress-aware: retries only while each attempt advances the
+  # step counter, so a deterministic failure still aborts.
+  for attempt in $(seq 1 40); do
+    RESUME=()
+    [ -d "$WORK/train/checkpoints/last" ] \
+      && RESUME=(ckpt_path="$WORK/train/checkpoints/last") \
+      || echo "WARNING: no 'last' checkpoint found; starting fresh"
+    before=$(tail -1 "$WORK/train/csv/metrics.csv" 2>/dev/null | cut -d, -f1)
+    before=${before:-0}
+    python train.py "${TRAIN_ARGS[@]}" ${RESUME[@]+"${RESUME[@]}"}
+    rc=$?
+    after=$(tail -1 "$WORK/train/csv/metrics.csv" 2>/dev/null | cut -d, -f1)
+    after=${after:-0}
+    echo "train attempt $attempt rc=$rc steps $before -> $after"
+    [ "$rc" -eq 0 ] && break
+    if [ "$after" -le "$before" ]; then
+      echo "train made no progress; aborting the resume loop"; break
+    fi
+    sleep 20
+  done
   echo "ema snapshots:"; ls "$WORK/train/ema_snapshots" || true
 fi
 
