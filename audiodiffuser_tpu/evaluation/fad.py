@@ -133,6 +133,19 @@ def _iter_dir(path, batch_size=128):
         yield np.stack([a[:n] for a in audios])
 
 
+def _dir_fingerprint(path) -> str:
+    """Content fingerprint of a wav directory: hash over sorted
+    (relative name, size, mtime) — stat-only, no file reads. Regenerating
+    samples in place (same filenames) changes mtimes and invalidates it."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for f in sorted(Path(path).rglob("*.wav")):
+        st = f.stat()
+        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def dir_stats(
     path, embedder=None, cache_key: str = None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -142,12 +155,16 @@ def dir_stats(
     are memoised in ``<dir>/.fad_stats_<key>.npz`` so repeated comparisons
     against the same corpus (one real set vs many generated sets) embed it
     only once. Stats from different embedders never collide: the key must
-    identify the embedder.
+    identify the embedder. The cache also records a content fingerprint of
+    the directory and is discarded when the wav set changes — an eval re-run
+    that regenerates samples in place must not serve the old distribution.
     """
     cache = Path(path) / f".fad_stats_{cache_key}.npz" if cache_key else None
+    fp = _dir_fingerprint(path) if cache is not None else None
     if cache is not None and cache.exists():
         z = np.load(cache)
-        return z["mu"], z["sigma"]
+        if "dir_fp" in z and str(z["dir_fp"]) == fp:
+            return z["mu"], z["sigma"]
     embedder = embedder or LogMelEmbedder()
     emb = np.concatenate([embedder(b) for b in _iter_dir(path)], axis=0)
     mu, sigma = gaussian_stats(emb)
@@ -155,7 +172,7 @@ def dir_stats(
         import os
 
         tmp = cache.with_name(cache.name + ".tmp.npz")
-        np.savez(tmp, mu=mu, sigma=sigma)
+        np.savez(tmp, mu=mu, sigma=sigma, dir_fp=fp)
         os.replace(tmp, cache)
     return mu, sigma
 

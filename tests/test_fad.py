@@ -79,3 +79,30 @@ def test_dir_stats_cache_roundtrip(tmp_path):
     f_cached = fad_between_dirs(a, b, cache_key="k1")
     f_fresh = fad_between_dirs(a, b)
     assert abs(f_cached - f_fresh) < 1e-6
+
+
+def test_dir_stats_cache_invalidated_by_regeneration(tmp_path):
+    """Regenerating samples in place (same filenames) must invalidate the
+    cached stats — an eval re-run writes over test_*.wav and the FAD must
+    reflect the new distribution, not the stale cache."""
+    import os
+    import time
+
+    from audiodiffuser_tpu.data.sc09 import save_wav
+    from audiodiffuser_tpu.evaluation.fad import dir_stats
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "gen"
+    d.mkdir()
+    for i in range(4):
+        save_wav(str(d / f"{i}.wav"), rng.standard_normal(8000).astype(np.float32) * 0.1, 16000)
+    mu1, _ = dir_stats(d, cache_key="k")
+
+    # overwrite with a very different distribution (same file names); nudge
+    # mtimes forward explicitly so the check is robust to coarse clocks
+    for i in range(4):
+        save_wav(str(d / f"{i}.wav"), (rng.standard_normal(8000) * 0.1 + 0.5).astype(np.float32), 16000)
+        t = time.time() + 5
+        os.utime(d / f"{i}.wav", (t, t))
+    mu2, _ = dir_stats(d, cache_key="k")
+    assert np.abs(mu1 - mu2).max() > 1e-3  # recomputed, not served stale
