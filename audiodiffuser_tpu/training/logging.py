@@ -34,6 +34,18 @@ class CSVLogger(BaseLogger):
         self.path = self.dir / "metrics.csv"
         self._fields: List[str] = ["step", "time"]
         self._rows: List[Dict] = []
+        # crash-resume into the same output dir must append, not truncate,
+        # the metric history: seed rows/fields from an existing file
+        if self.path.exists():
+            try:
+                with open(self.path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    for k in reader.fieldnames or []:
+                        if k not in self._fields:
+                            self._fields.append(k)
+                    self._rows = [dict(r) for r in reader]
+            except Exception:
+                pass
 
     def log_hyperparams(self, cfg: Dict):
         with open(self.dir / "hparams.json", "w") as f:

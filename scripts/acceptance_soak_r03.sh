@@ -109,13 +109,21 @@ fi
 
 if run_phase 5; then
   banner "5: eval.py 2048-sample generation grid (batch 128)"
-  RECON=$(ls -d "$WORK"/phema/recon_phema-* | head -1)
+  # newest reconstruction (highest step) — lexicographic head -1 would pick
+  # an older recon left over from a previous phase-4 run
+  RECON=$(ls -d "$WORK"/phema/recon_phema-* | sort -t_ -k2 -n | tail -1)
   echo "using phema reconstruction: $RECON"
   COMMON=(data.data_dir="$DATA" ckpt_path="$WORK/train/checkpoints/last"
     model.ema_ckpt_path="$RECON")
-  # the headline 32-step-Heun leg (BASELINE.md workload), bf16 and int8
+  # the headline 32-step-Heun leg (BASELINE.md workload), bf16 and int8,
+  # at the reference's cond_scale 1.0 …
   python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
     "${COMMON[@]}" paths.output_dir="$WORK/eval_heun_32"
+  # … and at guidance 2.0 (diagnostic grid: CFG 2.0 nearly halves FAD on
+  # this leg; reported alongside, not replacing, the reference workload)
+  python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
+    "${COMMON[@]}" model.sampler.cond_scale=2.0 \
+    paths.output_dir="$WORK/eval_heun_32_cfg2"
   ADT_INT8=1 python eval.py \
     experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
     "${COMMON[@]}" paths.output_dir="$WORK/eval_heun_32_int8"

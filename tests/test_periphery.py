@@ -117,6 +117,23 @@ def test_logger_offline_fallback(tmp_path, cls_name):
     assert rec["step"] == 3 and rec["train/loss"] == 0.5
 
 
+def test_csv_logger_appends_across_restart(tmp_path):
+    """Crash-resume into the same output dir must append to metrics.csv,
+    not truncate the prior run's history (observed: a resumed soak lost
+    21.8k steps of metrics)."""
+    from audiodiffuser_tpu.training.logging import CSVLogger
+
+    l1 = CSVLogger(str(tmp_path))
+    l1.log_metrics({"train/loss": 1.0}, 10)
+    l1.log_metrics({"train/loss": 0.9, "val/loss": 0.8}, 20)
+    l2 = CSVLogger(str(tmp_path))  # restart
+    l2.log_metrics({"train/loss": 0.85}, 30)
+    rows = (tmp_path / "csv" / "metrics.csv").read_text().splitlines()
+    assert len(rows) == 4
+    assert rows[1].startswith("10") and rows[3].startswith("30")
+    assert "val/loss" in rows[0]
+
+
 def test_many_loggers_includes_all_seven_minus_csv():
     cfg = compose(str(ROOT / "configs"), "train", ["logger=many_loggers"])
     assert set(cfg.logger) == {"csv", "tensorboard", "wandb", "comet", "mlflow", "neptune"}
