@@ -115,25 +115,34 @@ if run_phase 5; then
   echo "using phema reconstruction: $RECON"
   COMMON=(data.data_dir="$DATA" ckpt_path="$WORK/train/checkpoints/last"
     model.ema_ckpt_path="$RECON")
+  # retry each leg once: the dev-tunnel TPU worker can crash mid-generation
+  # (observed twice on 2026-08-18); a silent missing leg poisons the grid
+  run_eval() {
+    for _try in 1 2; do
+      "$@" && return 0
+      echo "eval leg failed (attempt $_try): $*"; sleep 20
+    done
+    return 1
+  }
   # the headline 32-step-Heun leg (BASELINE.md workload), bf16 and int8,
   # at the reference's cond_scale 1.0 …
-  python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
+  run_eval python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
     "${COMMON[@]}" paths.output_dir="$WORK/eval_heun_32"
   # … and at guidance 2.0 (diagnostic grid: CFG 2.0 nearly halves FAD on
   # this leg; reported alongside, not replacing, the reference workload)
-  python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
+  run_eval python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
     "${COMMON[@]}" model.sampler.cond_scale=2.0 \
     paths.output_dir="$WORK/eval_heun_32_cfg2"
-  ADT_INT8=1 python eval.py \
+  run_eval env ADT_INT8=1 python eval.py \
     experiment=sc09_inference/diffunet_complex_sc09_phema_eval_heun \
     "${COMMON[@]}" paths.output_dir="$WORK/eval_heun_32_int8"
   # the round-2 grid: ADPM2 + DPM at 16/50 steps
   for steps in 16 50; do
-    python eval.py experiment=sc09/diffunet_complex_sc09_phema \
+    run_eval python eval.py experiment=sc09/diffunet_complex_sc09_phema \
       "${COMMON[@]}" data.batch_size=128 \
       model.sampler.num_steps=$steps model.noise_scheduler.num_steps=$steps \
       paths.output_dir="$WORK/eval_adpm2_$steps"
-    python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_dpm \
+    run_eval python eval.py experiment=sc09_inference/diffunet_complex_sc09_phema_eval_dpm \
       "${COMMON[@]}" sampler_steps=$steps \
       paths.output_dir="$WORK/eval_dpm_$steps"
   done
