@@ -75,11 +75,16 @@ def main():
            "Learned-embedder (VGGish SC09 classifier) metrics over the",
            "2048-sample eval legs. `cond_acc` = classifier accuracy of the",
            "generated samples against their conditioning class", ""]
-    out.append("| leg | FAD | per-class FAD (mean) | cond_acc |")
-    out.append("|---|---|---|---|")
+    out.append("| leg | FAD | x floor | per-class FAD (mean) | cond_acc |")
+    out.append("|---|---|---|---|---|")
     for name, r in rows:
+        ratio = (
+            f"{r['fad'] / floor:.1f}x"
+            if floor and isinstance(r.get("fad"), (int, float))
+            else "—"
+        )
         out.append(
-            f"| {name} | {r.get('fad', 'err')} | "
+            f"| {name} | {r.get('fad', 'err')} | {ratio} | "
             f"{r.get('fad_per_class_mean', '—')} | "
             f"{r.get('cond_accuracy', '—')} |"
         )
