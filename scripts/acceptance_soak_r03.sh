@@ -170,5 +170,10 @@ if run_phase 7; then
   cp "$WORK/train/csv/metrics.csv" "$OUT/train_metrics.csv" || true
   cp "$WORK/train/config.json" "$OUT/train_config.json" || true
   python scripts/soak_summary.py --work "$WORK" --out "$OUT/summary.json" || true
+  # the judge-facing quality table (FAD + x-floor + cond accuracy per leg,
+  # plus the int8 gate verdict) — produced by the pipeline itself so a
+  # session restart can't leave the soak without its report
+  python scripts/soak_quality_report.py --work "$WORK" --data "$DATA" \
+    --platform cpu --out "$OUT/QUALITY.md" || true
   echo "soak complete; artifacts in $OUT"
 fi
