@@ -28,7 +28,7 @@ from pathlib import Path
 ROOT = Path(__file__).parents[1]
 
 
-def run_eval(snapshot, ckpt, data, outdir, samples, experiment):
+def run_eval(snapshot, ckpt, data, outdir, samples, experiment, overrides=()):
     cmd = [
         sys.executable, str(ROOT / "eval.py"),
         f"experiment={experiment}",
@@ -38,6 +38,7 @@ def run_eval(snapshot, ckpt, data, outdir, samples, experiment):
         f"model.total_test_samples={samples}",
         "data.batch_size=128",
         f"paths.output_dir={outdir}",
+        *overrides,
     ]
     p = subprocess.run(cmd, capture_output=True, text=True)
     if p.returncode != 0:
@@ -69,6 +70,9 @@ def main():
     ap.add_argument(
         "--experiment",
         default="sc09_inference/diffunet_complex_sc09_phema_eval_heun")
+    ap.add_argument(
+        "-o", "--override", action="append", default=[],
+        help="extra eval.py config overrides (e.g. model.sampler.cond_scale=2.0)")
     args = ap.parse_args()
 
     work, data = Path(args.work), Path(args.data)
@@ -96,7 +100,8 @@ def main():
         samples_dir = outdir / "test_samples"
         have = len(list(samples_dir.glob("*.wav"))) if samples_dir.is_dir() else 0
         if have < args.samples:
-            ok = run_eval(s, ckpt, data, outdir, args.samples, args.experiment)
+            ok = run_eval(s, ckpt, data, outdir, args.samples, args.experiment,
+                          args.override)
             if not ok:
                 print(f"# eval failed for {s.name}; skipping")
                 continue

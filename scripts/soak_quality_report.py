@@ -44,40 +44,80 @@ def run_fad(real, fake, embedder, platform):
     return None
 
 
+def leg_samples_per_sec(leg_dir):
+    """End-to-end generation rate logged by trainer.test (includes the jit
+    compile and wav writes — steady-state numbers live in bench.py)."""
+    csv = Path(leg_dir) / "csv" / "metrics.csv"
+    if not csv.is_file():
+        return None
+    try:
+        header, *rows = csv.read_text().strip().splitlines()
+        col = header.split(",").index("test/samples_per_sec")
+        for row in reversed(rows):
+            v = row.split(",")[col]
+            if v:
+                return float(v)
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", required=True)
     ap.add_argument("--data", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--platform", default="")
+    ap.add_argument("--fad-json", default=None,
+                    help="fad_raw.json from the soak phase 6 (supplies the "
+                         "winning cond_scale and the direct int8 gate value)")
     args = ap.parse_args()
 
     work, data = Path(args.work), Path(args.data)
     embedder = work / "embedder"
     real = data / "train"
 
+    fad_raw = {}
+    if args.fad_json and Path(args.fad_json).is_file():
+        fad_raw = json.loads(Path(args.fad_json).read_text())
+
     rows = []
     control = run_quality(data / "valid", real, embedder, args.platform)
-    rows.append(("real valid vs train (control floor)", control))
+    rows.append(("real valid vs train (control floor)", control, None))
     for d in sorted(work.glob("eval_*")):
         samples = d / "test_samples"
         if samples.is_dir():
-            rows.append((d.name, run_quality(samples, real, embedder, args.platform)))
+            rows.append((d.name, run_quality(samples, real, embedder, args.platform),
+                         leg_samples_per_sec(d)))
 
-    heun_bf16 = work / "eval_heun_32" / "test_samples"
-    heun_int8 = work / "eval_heun_32_int8" / "test_samples"
-    direct = None
-    if heun_bf16.is_dir() and heun_int8.is_dir():
-        direct = run_fad(heun_bf16, heun_int8, embedder, args.platform)
+    # direct int8-vs-bf16 gate at the headline leg: prefer the phase-6 value,
+    # else compute it over whichever naming scheme (r03/r04) is on disk
+    direct = fad_raw.get("direct_int8_vs_bf16_heun32")
+    best_cs = fad_raw.get("best_cond_scale")
+    if direct is None:
+        if best_cs is not None:
+            heun_bf16 = work / f"eval_heun32_cfg{best_cs}" / "test_samples"
+            heun_int8 = work / "eval_heun32_int8" / "test_samples"
+        else:
+            heun_bf16 = work / "eval_heun_32" / "test_samples"
+            heun_int8 = work / "eval_heun_32_int8" / "test_samples"
+        if heun_bf16.is_dir() and heun_int8.is_dir():
+            direct = run_fad(heun_bf16, heun_int8, embedder, args.platform)
 
     floor = control.get("fad")
-    out = ["# Round-3 soak quality report", "",
+    out = ["# Soak quality report", "",
            "Learned-embedder (VGGish SC09 classifier) metrics over the",
            "2048-sample eval legs. `cond_acc` = classifier accuracy of the",
-           "generated samples against their conditioning class", ""]
-    out.append("| leg | FAD | x floor | per-class FAD (mean) | cond_acc |")
-    out.append("|---|---|---|---|---|")
-    for name, r in rows:
+           "generated samples against their conditioning class; `samples/s` =",
+           "end-to-end generation rate for the leg (single chip, INCLUDES jit",
+           "compile and wav writes — steady-state throughput is bench.py's",
+           "number).", ""]
+    if best_cs is not None:
+        out += [f"Winning guidance from the 32-Heun cond_scale sweep: "
+                f"**cond_scale={best_cs}**", ""]
+    out.append("| leg | FAD | x floor | per-class FAD (mean) | cond_acc | samples/s |")
+    out.append("|---|---|---|---|---|---|")
+    for name, r, sps in rows:
         ratio = (
             f"{r['fad'] / floor:.1f}x"
             if floor and isinstance(r.get("fad"), (int, float))
@@ -86,7 +126,8 @@ def main():
         out.append(
             f"| {name} | {r.get('fad', 'err')} | {ratio} | "
             f"{r.get('fad_per_class_mean', '—')} | "
-            f"{r.get('cond_accuracy', '—')} |"
+            f"{r.get('cond_accuracy', '—')} | "
+            f"{f'{sps:.2f}' if sps else '—'} |"
         )
     out.append("")
     if direct is not None and floor:
