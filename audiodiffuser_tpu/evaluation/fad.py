@@ -139,10 +139,17 @@ def _dir_fingerprint(path) -> str:
     samples in place (same filenames) changes mtimes and invalidates it."""
     import hashlib
 
+    root = Path(path)
     h = hashlib.sha1()
-    for f in sorted(Path(path).rglob("*.wav")):
+    count = total = 0
+    for f in sorted(root.rglob("*.wav")):
         st = f.stat()
-        h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        # relative path (not basename): moving wavs between subdirectories
+        # with preserved name/size/mtime must invalidate the cache
+        h.update(f"{f.relative_to(root)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        count += 1
+        total += st.st_size
+    h.update(f"n={count};bytes={total}".encode())
     return h.hexdigest()
 
 

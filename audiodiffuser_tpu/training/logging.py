@@ -23,8 +23,20 @@ class BaseLogger:
     def log_metrics(self, metrics: Dict[str, float], step: int):
         pass
 
+    def on_resume(self, step: int):
+        """Called by the trainer after a checkpoint restore with the restored
+        step, so history-keeping loggers can reconcile rows logged after the
+        checkpoint was written (crash between checkpoint and crash-point)."""
+
     def finalize(self):
         pass
+
+
+def _row_step_beyond(row: Dict, step: int) -> bool:
+    try:
+        return int(float(row.get("step", 0))) > step
+    except (TypeError, ValueError):
+        return False
 
 
 class CSVLogger(BaseLogger):
@@ -50,6 +62,18 @@ class CSVLogger(BaseLogger):
     def log_hyperparams(self, cfg: Dict):
         with open(self.dir / "hparams.json", "w") as f:
             json.dump(cfg, f, indent=2, default=str)
+
+    def on_resume(self, step: int):
+        # the restore may be older than the last logged row (crash after the
+        # checkpoint was written): drop seeded rows beyond the restored step
+        # so those steps aren't logged twice with conflicting values
+        kept = [r for r in self._rows if not _row_step_beyond(r, step)]
+        if len(kept) != len(self._rows):
+            self._rows = kept
+            with open(self.path, "w", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=self._fields)
+                writer.writeheader()
+                writer.writerows(self._rows)
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
         row = {"step": step, "time": time.time()}
@@ -272,6 +296,10 @@ class MultiLogger(BaseLogger):
     def log_metrics(self, metrics: Dict[str, float], step: int):
         for lg in self.loggers:
             lg.log_metrics(metrics, step)
+
+    def on_resume(self, step: int):
+        for lg in self.loggers:
+            lg.on_resume(step)
 
     def finalize(self):
         for lg in self.loggers:

@@ -361,7 +361,11 @@ class Trainer:
         if state is None:
             state = self.init_state(first_batch)
         if ckpt_path:
-            state = self.restore_checkpoint(ckpt_path, state)
+            state = self.restore_checkpoint(ckpt_path, state, strict=True)
+            if self.logger is not None:
+                # reconcile logger history: rows logged between the restored
+                # checkpoint and the crash would otherwise appear twice
+                self.logger.on_resume(int(jax.device_get(state.step)))
         self._compile()
 
         # param-count summary (reference logging_utils.py:10-51)
@@ -630,7 +634,18 @@ class Trainer:
         for old in epochs[: -self.ckpt_keep_last]:
             shutil.rmtree(old, ignore_errors=True)
 
-    def restore_checkpoint(self, path, state: TrainState) -> TrainState:
+    def restore_checkpoint(
+        self, path, state: TrainState, *, strict: bool = False
+    ) -> TrainState:
+        """Restore a TrainState from an orbax checkpoint.
+
+        ``strict=True`` (used by the training-resume path in :meth:`fit`)
+        disables the params-only fallback: a structural mismatch or corrupt
+        checkpoint raises instead of silently re-initialising the
+        optimizer/EMA state, which would poison the EMA snapshots a
+        converged-quality run is graded on. ``strict=False`` (eval/generate/
+        enhance) keeps the lenient fallback — inference only needs params.
+        """
         target = jax.device_get(
             {
                 "step": state.step,
@@ -656,7 +671,17 @@ class Trainer:
                 payload = dict(
                     self._ckpt.restore(str(Path(path).absolute()), item=legacy)
                 )
-            except Exception:
+            except Exception as e:
+                if strict:
+                    raise RuntimeError(
+                        f"strict checkpoint restore failed for {path}: the "
+                        "on-disk tree does not match the training state "
+                        "template (corrupt checkpoint, or the run was "
+                        "configured with a different optimizer/EMA setup). "
+                        "Refusing the params-only fallback for a training "
+                        "resume — it would silently reset optimizer and EMA "
+                        "state."
+                    ) from e
                 # structural mismatch beyond the legacy keys — typically the
                 # eval-time task was built with a different EMA configuration
                 # than the training run (e.g. use_ema=False against an

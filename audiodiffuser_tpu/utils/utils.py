@@ -24,6 +24,49 @@ def seed_everything(seed: Optional[int]):
     np.random.seed(seed % 2**32)
 
 
+def extras(cfg) -> None:
+    """Optional pre-task utilities, gated by the ``extras`` config group
+    (reference ``src/utils/utils.py:12-39`` + ``configs/extras/default.yaml``):
+
+    - ``ignore_warnings``: silence all python warnings
+    - ``enforce_tags``: require a non-default ``tags`` list — prompt on an
+      interactive tty, raise otherwise (experiments must be taggable for
+      multirun bookkeeping)
+    - ``print_config``: let the entry point pretty-print the composed config
+      (honored by the caller via :func:`should_print_config`)
+    """
+    ex = cfg.get("extras") if hasattr(cfg, "get") else None
+    if not ex:
+        return
+    if ex.get("ignore_warnings"):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+    if ex.get("enforce_tags"):
+        tags = cfg.get("tags")
+        if not tags:
+            import sys
+
+            if sys.stdin.isatty():
+                entered = input(
+                    "no tags set for this run — enter a comma-separated "
+                    "list of tags: "
+                ).strip()
+                if not entered:
+                    raise ValueError("tags are required (extras.enforce_tags)")
+                cfg["tags"] = [t.strip() for t in entered.split(",") if t.strip()]
+            else:
+                raise ValueError(
+                    "extras.enforce_tags: specify tags, e.g. "
+                    "'tags=[dev]' (non-interactive run cannot prompt)"
+                )
+
+
+def should_print_config(cfg) -> bool:
+    ex = cfg.get("extras") if hasattr(cfg, "get") else None
+    return bool(ex.get("print_config", True)) if ex else True
+
+
 def task_wrapper(task_func: Callable) -> Callable:
     """Log crashes to the output dir and always re-raise (reference
     utils/utils.py:42-92); ensures logger finalization on the happy path."""
@@ -42,11 +85,12 @@ def task_wrapper(task_func: Callable) -> Callable:
     return wrap
 
 
-def print_config_tree(cfg: Dict, save_to: Optional[str] = None):
+def print_config_tree(cfg: Dict, save_to: Optional[str] = None, quiet: bool = False):
     text = json.dumps(
         cfg.to_dict() if hasattr(cfg, "to_dict") else cfg, indent=2, default=str
     )
-    print(text)
+    if not quiet:  # extras.print_config=False still persists the config file
+        print(text)
     if save_to:
         Path(save_to).parent.mkdir(parents=True, exist_ok=True)
         with open(save_to, "w") as f:

@@ -146,11 +146,14 @@ def run(BATCH):
         fp = hashlib.sha1()
         leaves = jax.tree_util.tree_leaves(params)
         fp.update(repr([(l.shape, str(l.dtype)) for l in leaves]).encode())
-        fp.update(
-            np.asarray(
-                [float(jnp.sum(jnp.abs(l))) for l in leaves], np.float64
-            ).tobytes()
-        )
+        # content hash over a deterministic subsample of raw leaf bytes (an
+        # abs-sum digest would let distinct param sets collide and silently
+        # serve wrong activation scales if bench ever loads real checkpoints)
+        for l in leaves:
+            raw = np.ascontiguousarray(jax.device_get(l)).tobytes()
+            fp.update(raw[:4096])
+            fp.update(raw[-4096:])
+            fp.update(str(len(raw)).encode())
         knobs = sorted(
             (k, v) for k, v in os.environ.items() if k.startswith("ADT_")
         )

@@ -27,17 +27,28 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from audiodiffuser_tpu.config import compose, expand_multirun, instantiate
-from audiodiffuser_tpu.utils import print_config_tree, seed_everything, task_wrapper
+from audiodiffuser_tpu.utils import (
+    extras,
+    print_config_tree,
+    seed_everything,
+    should_print_config,
+    task_wrapper,
+)
 from train import apply_debug_config, build_trainer_and_task
 
 
 @task_wrapper
 def evaluate(cfg):
     assert cfg.get("ckpt_path"), "ckpt_path is required for evaluation"
+    extras(cfg)
     seed_everything(cfg.get("seed"))
     output_dir = Path(cfg.paths.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    print_config_tree(cfg, save_to=str(output_dir / "config.json"))
+    print_config_tree(
+        cfg,
+        save_to=str(output_dir / "config.json"),
+        quiet=not should_print_config(cfg),
+    )
     apply_debug_config(cfg, output_dir)
 
     datamodule = instantiate(cfg.data)

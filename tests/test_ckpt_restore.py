@@ -97,3 +97,50 @@ def test_restore_across_ema_template_mismatch(tmp_path, capsys):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
     # EMA state stays at the eval template's value (None)
     assert restored.ema_state is None
+
+
+def test_strict_restore_refuses_template_mismatch(tmp_path):
+    # a TRAINING resume (strict=True, as used by Trainer.fit) must fail
+    # loudly on the same mismatch instead of silently re-initialising the
+    # optimizer/EMA state (round-3 advisor finding: a corrupt/mismatched
+    # 'last' checkpoint inside an auto-restarting soak loop would otherwise
+    # poison the EMA snapshots the FAD gate grades)
+    import pytest
+
+    t1 = Trainer(
+        task=_task(use_ema=True),
+        optimizer=optax.adamw(1e-3),
+        output_dir=str(tmp_path / "train"),
+    )
+    s1 = t1.init_state(_batch())
+    t1.save_checkpoint(s1, "last")
+
+    t2 = Trainer(
+        task=_task(use_ema=False),
+        optimizer=optax.adamw(1e-3),
+        output_dir=str(tmp_path / "eval"),
+    )
+    s2 = t2.init_state(_batch())
+    with pytest.raises(RuntimeError, match="strict checkpoint restore"):
+        t2.restore_checkpoint(
+            str(tmp_path / "train" / "checkpoints" / "last"), s2, strict=True
+        )
+
+
+def test_strict_restore_succeeds_on_matching_template(tmp_path):
+    t1 = Trainer(
+        task=_task(use_ema=True),
+        optimizer=optax.adamw(1e-3),
+        output_dir=str(tmp_path / "train"),
+    )
+    s1 = t1.init_state(_batch())
+    t1.save_checkpoint(s1, "last")
+    s2 = t1.init_state(_batch())
+    s2 = s2.replace(params=jax.tree.map(lambda p: p + 1.0, s2.params))
+    restored = t1.restore_checkpoint(
+        str(tmp_path / "train" / "checkpoints" / "last"), s2, strict=True
+    )
+    a = jax.tree.leaves(jax.device_get(s1.params))
+    b = jax.tree.leaves(jax.device_get(restored.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)

@@ -259,3 +259,62 @@ def test_reformat_wav_tree(tmp_path):
     assert got.exists()
     sr, audio = load_wav(str(got))
     assert sr == 16000 and audio.ndim == 1
+
+
+def test_csv_logger_on_resume_drops_rows_beyond_restored_step(tmp_path):
+    """Crash-after-checkpoint: rows logged past the restored step must be
+    dropped on resume so those steps aren't logged twice (advisor r3)."""
+    from audiodiffuser_tpu.training.logging import CSVLogger
+
+    l1 = CSVLogger(str(tmp_path))
+    for step in (10, 20, 30, 40):
+        l1.log_metrics({"train/loss": float(step)}, step)
+    # restart: checkpoint was written at step 20, crash happened after 40
+    l2 = CSVLogger(str(tmp_path))
+    l2.on_resume(20)
+    l2.log_metrics({"train/loss": 99.0}, 30)
+    rows = (tmp_path / "csv" / "metrics.csv").read_text().strip().splitlines()
+    steps = [int(float(r.split(",")[0])) for r in rows[1:]]
+    assert steps == [10, 20, 30]
+    # the re-logged step 30 carries the new value, not the stale one
+    header = rows[0].split(",")
+    loss_col = header.index("train/loss")
+    assert float(rows[-1].split(",")[loss_col]) == 99.0
+
+
+def test_extras_group(tmp_path):
+    """extras config group parity (reference src/utils/utils.py:12-39)."""
+    import pytest
+
+    from audiodiffuser_tpu.config import compose
+    from audiodiffuser_tpu.utils import extras, should_print_config
+
+    cfg = compose("configs", "train", ["experiment=example"])
+    assert dict(cfg.extras) == {
+        "ignore_warnings": False,
+        "enforce_tags": True,
+        "print_config": True,
+    }
+    extras(cfg)  # tags present -> passes
+    assert should_print_config(cfg)
+
+    cfg2 = compose("configs", "train", ["experiment=example", "tags=[]"])
+    with pytest.raises(ValueError, match="enforce_tags"):
+        extras(cfg2)
+
+    cfg3 = compose(
+        "configs", "train", ["experiment=example", "extras.print_config=False"]
+    )
+    assert not should_print_config(cfg3)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        cfg4 = compose(
+            "configs", "train",
+            ["experiment=example", "extras.ignore_warnings=True"],
+        )
+        extras(cfg4)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.warn("should be suppressed")
+        assert rec == []

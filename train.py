@@ -30,9 +30,11 @@ if os.environ.get("JAX_PLATFORMS"):
 
 from audiodiffuser_tpu.config import compose, expand_multirun, instantiate
 from audiodiffuser_tpu.utils import (
+    extras,
     get_metric_value,
     print_config_tree,
     seed_everything,
+    should_print_config,
     task_wrapper,
 )
 
@@ -183,10 +185,15 @@ def apply_debug_config(cfg, output_dir):
 
 @task_wrapper
 def train(cfg):
+    extras(cfg)
     seed_everything(cfg.get("seed"))
     output_dir = Path(cfg.paths.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    print_config_tree(cfg, save_to=str(output_dir / "config.json"))
+    print_config_tree(
+        cfg,
+        save_to=str(output_dir / "config.json"),
+        quiet=not should_print_config(cfg),
+    )
     trace_dir = apply_debug_config(cfg, output_dir)
 
     datamodule = instantiate(cfg.data)
