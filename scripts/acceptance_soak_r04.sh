@@ -182,7 +182,7 @@ if run_phase 7; then
     || die "train metrics missing"
   cp "$WORK/train/config.json" "$OUT/train_config.json" || true
   python scripts/soak_summary.py --work "$WORK" --out "$OUT/summary.json" \
-    || die "soak_summary failed"
+    --fad-json "$OUT/fad_raw.json" || die "soak_summary failed"
   python scripts/soak_quality_report.py --work "$WORK" --data "$DATA" \
     --platform cpu --fad-json "$OUT/fad_raw.json" --out "$OUT/QUALITY.md" \
     || die "quality report failed"

@@ -16,6 +16,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--work", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--fad-json", default=None,
+                    help="r04-style fad_raw.json to embed (replaces the "
+                         "legacy logs/soak_r02/fad_raw.txt scrape)")
     args = ap.parse_args()
     work = Path(args.work)
     out = Path(args.out)
@@ -57,14 +60,17 @@ def main():
         evals[d.name] = {"n_samples": len(wavs)}
     summary["evals"] = evals
 
-    fad_raw = Path("logs/soak_r02/fad_raw.txt")
-    if fad_raw.exists():
-        fads = {}
-        for line in fad_raw.read_text().splitlines():
-            m = re.match(r'\{"(\w+)": (\{.*\})\},?', line.strip())
-            if m:
-                fads[m.group(1)] = json.loads(m.group(2))
-        summary["fad"] = fads
+    if args.fad_json and Path(args.fad_json).exists():
+        summary["fad"] = json.loads(Path(args.fad_json).read_text())
+    else:
+        fad_raw = Path("logs/soak_r02/fad_raw.txt")
+        if fad_raw.exists():
+            fads = {}
+            for line in fad_raw.read_text().splitlines():
+                m = re.match(r'\{"(\w+)": (\{.*\})\},?', line.strip())
+                if m:
+                    fads[m.group(1)] = json.loads(m.group(2))
+            summary["fad"] = fads
 
     out.write_text(json.dumps(summary, indent=2) + "\n")
     print(json.dumps(summary, indent=2))
