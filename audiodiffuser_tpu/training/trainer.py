@@ -357,7 +357,11 @@ class Trainer:
         self.limit_val_batches = _resolve_limit(
             self.limit_val_batches, len(val_loader)
         )
-        self._fit_mesh_to_batch(first_batch["audio"].shape[0])
+        # the loader yields process-LOCAL batches; the mesh data axis spans
+        # all processes' devices, so fit it to the GLOBAL batch size
+        self._fit_mesh_to_batch(
+            first_batch["audio"].shape[0] * jax.process_count()
+        )
         if state is None:
             state = self.init_state(first_batch)
         if ckpt_path:
@@ -597,8 +601,10 @@ class Trainer:
 
     # -- checkpointing ---------------------------------------------------------
     def save_checkpoint(self, state: TrainState, name: str = "last"):
-        if not is_main_process():
-            return
+        # orbax save is a COLLECTIVE in multi-process runs (it barriers on
+        # every process); gating it to rank 0 deadlocks rank 0 against peers
+        # that never enter the barrier. Every process calls save; orbax
+        # writes host/replicated data from the primary only.
         path = (self.ckpt_dir / name).absolute()
         payload = jax.device_get(
             {
@@ -718,11 +724,15 @@ class Trainer:
         return self._place_state(state)
 
     def save_ema_snapshots(self, state: TrainState, step: int):
-        """Orbax EMA snapshots (replaces fp16 pickles, reference :156-167)."""
-        if not is_main_process() or self.ema is None:
+        """Orbax EMA snapshots (replaces fp16 pickles, reference :156-167).
+
+        Called from every process: orbax save barriers collectively in
+        multi-process runs (see save_checkpoint)."""
+        if self.ema is None:
             return
         snap_dir = (self.output_dir / "ema_snapshots").absolute()
-        snap_dir.mkdir(parents=True, exist_ok=True)
+        if is_main_process():
+            snap_dir.mkdir(parents=True, exist_ok=True)
         for ema_params, suffix in self.ema.get(jax.device_get(state.ema_state)):
             path = snap_dir / f"ema_prof{suffix}_{step}"
             half = jax.tree.map(lambda p: np.asarray(p, np.float16), ema_params)

@@ -20,7 +20,8 @@ exec > >(tee -a "$OUT/run.log") 2>&1
 echo "=== [$(date -u +%F' '%T)] longseq r04: flash training leg ($STEPS steps) ==="
 timeout 5400 python train.py experiment=sc09/dit_longseq_sc09 \
   data.data_dir="$DATA" paths.output_dir="$WORK/flash" \
-  trainer.max_steps=$STEPS trainer.max_epochs=1 trainer.min_epochs=1 \
+  +trainer.max_steps=$STEPS +trainer.log_every_n_steps=10 \
+  trainer.max_epochs=1 trainer.min_epochs=1 \
   trainer.check_val_every_n_epoch=10 tags='[longseq,flash]'
 rc_flash=$?
 echo "flash leg rc=$rc_flash"
@@ -29,7 +30,8 @@ echo "=== [$(date -u +%F' '%T)] longseq r04: XLA-attention A/B leg ==="
 ADT_FLASH_ATTENTION=0 timeout 5400 python train.py \
   experiment=sc09/dit_longseq_sc09 \
   data.data_dir="$DATA" paths.output_dir="$WORK/xla" \
-  trainer.max_steps=$STEPS trainer.max_epochs=1 trainer.min_epochs=1 \
+  +trainer.max_steps=$STEPS +trainer.log_every_n_steps=10 \
+  trainer.max_epochs=1 trainer.min_epochs=1 \
   trainer.check_val_every_n_epoch=10 tags='[longseq,xla]'
 rc_xla=$?
 echo "xla leg rc=$rc_xla (an OOM here IS the flash kernels' justification)"

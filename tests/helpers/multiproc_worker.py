@@ -93,6 +93,7 @@ def main():
 
     from audiodiffuser_tpu.data.sc09 import SC09DataModule
     from audiodiffuser_tpu.parallel.mesh import is_main_process, shard_batch
+    from audiodiffuser_tpu.training.logging import CSVLogger
     from audiodiffuser_tpu.training.trainer import Trainer
 
     out = Path(args.out)
@@ -119,8 +120,11 @@ def main():
         "num_shards": loader.num_shards,
         "shard_index": loader.shard_index,
         "dataset_len": len(loader.dataset),
+        # dir-qualified: the train split spans train/ AND valid/, whose
+        # basenames collide (train/One_0.wav vs valid/One_0.wav)
         "shard_files": sorted(
-            Path(loader.dataset.filenames[int(i)]).name for i in loader._indices()
+            "/".join(Path(loader.dataset.filenames[int(i)]).parts[-2:])
+            for i in loader._indices()
         ),
     }
 
@@ -162,6 +166,10 @@ def main():
         task=build_task(),
         optimizer=optax.adamw(1e-3),
         output_dir=str(out / "fit"),  # shared: rank-0-only writes
+        # every process constructs the logger; the trainer gates log_metrics
+        # behind is_main_process() — exactly what the test asserts
+        logger=CSVLogger(str(out / "fit")),
+        log_every_n_steps=1,
         progress_bar=False,
         seed=0,
         max_epochs=1,
@@ -175,6 +183,14 @@ def main():
 
     (out / f"proc{args.procid}.json").write_text(json.dumps(res, indent=2))
     print(f"worker {args.procid} done: {res['fit_steps']} fit steps")
+
+    if multi:
+        # rendezvous before interpreter exit: on an oversubscribed CPU the
+        # fast process otherwise reaches the coordination-service shutdown
+        # barrier minutes before the slow one and the barrier times out
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worker-exit")
 
 
 if __name__ == "__main__":

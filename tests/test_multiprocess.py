@@ -55,6 +55,8 @@ def _spawn(procid, nprocs, port, data, out):
     # 8-device flag must not leak into them
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # persistent compile cache: the three worker invocations share jits
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
     return subprocess.Popen(
         [
             sys.executable, str(WORKER),
@@ -149,6 +151,12 @@ def test_fit_executes_and_rank_zero_only_writes(mp_results):
     # metrics csv; a double-writer would duplicate csv step rows
     fit = out / "mp2" / "fit"
     assert (fit / "checkpoints" / "last").is_dir()
-    rows = (fit / "csv" / "metrics.csv").read_text().strip().splitlines()[1:]
-    steps = [int(float(r.split(",")[0])) for r in rows]
-    assert len(steps) == len(set(steps)), "rank-1 must not also write metrics"
+    header, *rows = (fit / "csv" / "metrics.csv").read_text().strip().splitlines()
+    cols = header.split(",")
+    si, li = cols.index("step"), cols.index("train/loss_step")
+    # per-step loss rows: exactly one per optimizer step (1..8). A rank-1
+    # double-writer would emit each of them twice. (Other rows — the step-0
+    # params row and the epoch-summary row at step 8 — legitimately share
+    # step numbers with them.)
+    step_rows = [int(float(r.split(",")[si])) for r in rows if r.split(",")[li]]
+    assert sorted(step_rows) == list(range(1, 9)), step_rows

@@ -130,6 +130,7 @@ def build_trainer_and_task(cfg, output_dir):
                 "max_epochs",
                 "min_epochs",
                 "max_steps",
+                "log_every_n_steps",
                 "check_val_every_n_epoch",
                 "limit_train_batches",
                 "limit_val_batches",
