@@ -99,7 +99,15 @@ class Collator:
 
 
 class DataLoader:
-    """Shuffling batch iterator with background prefetch."""
+    """Shuffling batch iterator with background prefetch.
+
+    ``wire_dtype="int16"`` ships audio as PCM int16 and lets the trainer
+    rescale to float32 on device — the sources are 16-bit wavs, so the
+    round-trip is exact (within one rounding ulp of 1/32768) while halving
+    the host->device bytes. Through a remote TPU tunnel (~4 MB/s measured)
+    the float32 batch transfer dominates the train step, so this is a
+    throughput lever, not a compression trick.
+    """
 
     def __init__(
         self,
@@ -112,6 +120,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        wire_dtype: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -122,8 +131,17 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.wire_dtype = wire_dtype
         self.epoch = 0
         self._native_lengths = None
+
+    def _to_wire(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.wire_dtype == "int16":
+            a = batch["audio"]
+            batch["audio"] = np.clip(
+                np.rint(a * 32768.0), -32768, 32767
+            ).astype(np.int16)
+        return batch
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -178,12 +196,12 @@ class DataLoader:
                     chunk = idx[start : start + self.batch_size]
                     if use_native:
                         try:
-                            q.put(self._native_batch(chunk, rng))
+                            q.put(self._to_wire(self._native_batch(chunk, rng)))
                             continue
                         except IOError:
                             pass  # odd file -> python fallback below
                     records = [self.dataset[int(i)] for i in chunk]
-                    q.put(self.collator(records))
+                    q.put(self._to_wire(self.collator(records)))
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
                 q.put(e)
             finally:
@@ -218,6 +236,7 @@ class SC09DataModule:
         train_dirs: Sequence[str] = ("train", "valid"),
         val_dir: str = "test",
         test_dir: str = "test",
+        wire_dtype: Optional[str] = None,
     ):
         self.data_dir = data_dir
         self.batch_size = batch_size
@@ -226,6 +245,11 @@ class SC09DataModule:
         self.train_dirs = train_dirs
         self.val_dir = val_dir
         self.test_dir = test_dir
+        # int16 wire format for train/val batches (see DataLoader); default
+        # comes from ADT_WIRE_DTYPE so long-running soaks can opt in without
+        # a config change. The test loader stays float32 — generation never
+        # feeds audio in, and amplitude probes read it directly.
+        self.wire_dtype = wire_dtype or os.environ.get("ADT_WIRE_DTYPE", "float32")
         self._train = self._val = self._test = None
 
     def setup(self):
@@ -241,6 +265,7 @@ class SC09DataModule:
             seed=self.seed,
             num_shards=nshards,
             shard_index=shard,
+            wire_dtype=self.wire_dtype,
         )
         self._val = DataLoader(
             SC09Dataset([root / self.val_dir]),
@@ -249,6 +274,7 @@ class SC09DataModule:
             shuffle=False,
             num_shards=nshards,
             shard_index=shard,
+            wire_dtype=self.wire_dtype,
         )
         self._test = DataLoader(
             SC09Dataset([root / self.test_dir]),

@@ -66,3 +66,28 @@ def test_dataloader_uses_native_path(wav_dir):
     assert batch["audio"].shape == (3, 2048)
     assert batch["audio"].dtype == np.float32
     assert set(batch["label"].tolist()) == {0, 1, 2}
+
+
+def test_int16_wire_format_exact(wav_dir):
+    """wire_dtype="int16" ships PCM ints whose device-side rescale is
+    bit-identical (within one rounding ulp) to the float32 pipeline."""
+    ds = SC09Dataset([wav_dir])
+    f32 = next(iter(DataLoader(ds, batch_size=3, collator=Collator(2048), shuffle=False)))
+    i16 = next(iter(DataLoader(ds, batch_size=3, collator=Collator(2048), shuffle=False, wire_dtype="int16")))
+    assert i16["audio"].dtype == np.int16
+    np.testing.assert_allclose(
+        i16["audio"].astype(np.float32) / 32768.0, f32["audio"], atol=0.5 / 32768.0
+    )
+    np.testing.assert_array_equal(i16["label"], f32["label"])
+
+
+def test_trainer_audio_to_float_helper():
+    from audiodiffuser_tpu.training.trainer import _audio_to_float
+
+    pcm = {"audio": np.array([[0, 16384, -32768]], np.int16), "label": np.array([1])}
+    out = _audio_to_float(pcm)
+    np.testing.assert_allclose(
+        np.asarray(out["audio"]), [[0.0, 0.5, -1.0]], atol=1e-7
+    )
+    flt = {"audio": np.ones((1, 4), np.float32)}
+    assert _audio_to_float(flt)["audio"] is flt["audio"]  # no-op passthrough
