@@ -41,6 +41,7 @@ from ..parallel.mesh import (
     shard_batch,
     shard_params_fsdp,
 )
+from ..utils.packing import device_get_packed
 from .ema import PowerFunctionEMA, TraditionalEMA
 from .logging import BaseLogger
 
@@ -680,7 +681,7 @@ class Trainer:
         # that never enter the barrier. Every process calls save; orbax
         # writes host/replicated data from the primary only.
         path = (self.ckpt_dir / name).absolute()
-        payload = jax.device_get(
+        payload = device_get_packed(
             {
                 "step": state.step,
                 "params": state.params,
@@ -726,7 +727,7 @@ class Trainer:
         converged-quality run is graded on. ``strict=False`` (eval/generate/
         enhance) keeps the lenient fallback — inference only needs params.
         """
-        target = jax.device_get(
+        target = device_get_packed(
             {
                 "step": state.step,
                 "params": state.params,
@@ -807,14 +808,14 @@ class Trainer:
         snap_dir = (self.output_dir / "ema_snapshots").absolute()
         if is_main_process():
             snap_dir.mkdir(parents=True, exist_ok=True)
-        for ema_params, suffix in self.ema.get(jax.device_get(state.ema_state)):
+        for ema_params, suffix in self.ema.get(device_get_packed(state.ema_state)):
             path = snap_dir / f"ema_prof{suffix}_{step}"
             half = jax.tree.map(lambda p: np.asarray(p, np.float16), ema_params)
             self._ckpt.save(path, half, force=True)
 
     def load_ema_params(self, path, like_params):
         target = jax.tree.map(
-            lambda p: np.zeros(p.shape, np.float16), jax.device_get(like_params)
+            lambda p: np.zeros(p.shape, np.float16), device_get_packed(like_params)
         )
         half = self._ckpt.restore(str(Path(path).absolute()), item=target)
         full = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), half)

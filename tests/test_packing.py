@@ -1,0 +1,110 @@
+"""device_get_packed must be an exact drop-in for jax.device_get.
+
+The checkpoint path (trainer.save_checkpoint / restore_checkpoint /
+save_ema_snapshots) fetches the full train state through it; any semantic
+drift would corrupt checkpoints, so we assert bit-exact equality against
+jax.device_get across dtypes, shapes, nesting, and non-device leaves.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiodiffuser_tpu.utils.packing import device_get_packed
+
+
+def _assert_tree_equal(a, b):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.dtype == y.dtype
+        assert x.shape == y.shape
+        np.testing.assert_array_equal(x, y)
+
+
+def test_roundtrip_mixed_dtypes_and_nesting():
+    key = jax.random.key(0)
+    tree = {
+        "params": {
+            "w": jax.random.normal(key, (17, 33), jnp.float32),
+            "b": jnp.zeros((33,), jnp.float32),
+            "emb": jax.random.normal(key, (5, 4), jnp.bfloat16),
+        },
+        "step": jnp.asarray(123, jnp.int32),
+        "nitem": jnp.asarray(2**40, jnp.int64)
+        if jax.config.jax_enable_x64
+        else jnp.asarray(99, jnp.int32),
+        "flags": jnp.asarray([True, False, True]),
+        "nested": [jnp.arange(7, dtype=jnp.float32), (jnp.ones((2, 3, 4)),)],
+    }
+    got = device_get_packed(tree)
+    want = jax.device_get(tree)
+    _assert_tree_equal(got, want)
+    # every fetched leaf is host numpy
+    for leaf in jax.tree_util.tree_leaves(got):
+        assert isinstance(leaf, np.ndarray)
+
+
+def test_scalar_and_empty_leaves():
+    tree = {
+        "zero_d": jnp.asarray(3.5),
+        "empty": jnp.zeros((0, 8), jnp.float32),
+        "one": jnp.asarray([7], jnp.int32),
+    }
+    got = device_get_packed(tree)
+    want = jax.device_get(tree)
+    _assert_tree_equal(got, want)
+    assert got["zero_d"].shape == ()
+    assert got["empty"].shape == (0, 8)
+
+
+def test_non_device_leaves_pass_through():
+    arr = np.arange(6).reshape(2, 3)
+    tree = {"np": arr, "py": 4.25, "dev": jnp.ones((3,))}
+    got = device_get_packed(tree)
+    assert got["np"] is arr
+    assert got["py"] == 4.25
+    np.testing.assert_array_equal(np.asarray(got["dev"]), np.ones((3,)))
+
+
+def test_empty_tree():
+    assert device_get_packed({}) == {}
+    assert device_get_packed([]) == []
+
+
+def test_single_leaf():
+    x = jnp.arange(10, dtype=jnp.float32).reshape(2, 5)
+    got = device_get_packed(x)
+    np.testing.assert_array_equal(got, np.arange(10, dtype=np.float32).reshape(2, 5))
+
+
+def test_matches_device_get_on_trainstate_like_tree():
+    """Shape of the real checkpoint payload: params + m/v + ema profiles."""
+    key = jax.random.key(1)
+    params = {
+        f"layer_{i}": {
+            "kernel": jax.random.normal(jax.random.fold_in(key, i), (8, 8)),
+            "bias": jnp.zeros((8,)),
+        }
+        for i in range(12)
+    }
+    tree = {
+        "step": jnp.asarray(7200, jnp.int32),
+        "params": params,
+        "opt_state": {"m": params, "v": params, "count": jnp.asarray(7200)},
+        "ema_state": {"p05": params, "p10": params},
+        "best_val_loss": jnp.asarray(0.42, jnp.float32),
+    }
+    _assert_tree_equal(device_get_packed(tree), jax.device_get(tree))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
+def test_dtype_preserved(dtype):
+    x = {"a": jnp.asarray([1.5, 2.5], dtype), "b": jnp.asarray([[4.0]], dtype)}
+    got = device_get_packed(x)
+    assert got["a"].dtype == np.dtype(jnp.dtype(dtype))
+    assert got["b"].dtype == np.dtype(jnp.dtype(dtype))
