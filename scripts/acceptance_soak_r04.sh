@@ -73,6 +73,33 @@ for line in reversed(sys.stdin.read().splitlines()):
     if line.startswith("{"):
         print(json.loads(line)["fad"]); break'; }
 
+# Overlap the CPU-only FAD of a finished leg with the TPU generation of the
+# next one.  FADs are chained (one at a time — single-CPU box) but run
+# concurrently with eval.py, whose host side is mostly idle while the
+# sampler scan executes on device.  Results land in $WORK/fad_leg_<leg>.txt;
+# phase 6 reads the file when present and computes inline when not, so a
+# lost background job degrades to the old serial behaviour, never to a
+# missing artifact.
+LAST_FAD_PID=
+fad_bg() {
+  local leg=$1
+  [ -s "$WORK/fad_leg_$leg.txt" ] && return 0
+  local prev=$LAST_FAD_PID
+  (
+    [ -n "$prev" ] && wait "$prev" 2>/dev/null
+    f=$(FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples")
+    [ -n "$f" ] && { echo "$f" > "$WORK/.fad_leg_$leg.tmp" \
+                     && mv "$WORK/.fad_leg_$leg.tmp" "$WORK/fad_leg_$leg.txt"; }
+    echo "[fad_bg] $leg -> ${f:-FAILED}"
+  ) &
+  LAST_FAD_PID=$!
+}
+fad_leg() {  # read a background result, computing inline as fallback
+  local leg=$1
+  [ -s "$WORK/fad_leg_$leg.txt" ] && { cat "$WORK/fad_leg_$leg.txt"; return 0; }
+  FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples"
+}
+
 HEUN_EXP=sc09_inference/diffunet_complex_sc09_phema_eval_heun
 DPM_EXP=sc09_inference/diffunet_complex_sc09_phema_eval_dpm
 UNIPC_EXP=sc09_inference/diffunet_complex_sc09_phema_eval_unipc
@@ -98,17 +125,26 @@ if run_phase 5; then
           model.total_test_samples=$SAMPLES)
 
   banner "5a: guidance sweep @ 32-step Heun (cond_scale 1.0..4.0)"
+  # floor FAD (real-vs-real) only needs the dataset: overlap it with leg 1
+  if [ ! -s "$WORK/fad_floor.txt" ]; then
+    ( f=$(FAD --real "$DATA/train" --fake "$DATA/valid"); \
+      [ -n "$f" ] && echo "$f" > "$WORK/fad_floor.txt" ) &
+    LAST_FAD_PID=$!
+  fi
   for cs in 1.0 1.5 2.0 3.0 4.0; do
     run_eval "$WORK/eval_heun32_cfg$cs" experiment=$HEUN_EXP \
       "${COMMON[@]}" model.sampler.cond_scale=$cs
+    fad_bg "eval_heun32_cfg$cs"
   done
 
   banner "5b: FAD per sweep leg -> pick winning cond_scale"
-  FLOOR=$(FAD --real "$DATA/train" --fake "$DATA/valid")
+  [ -n "$LAST_FAD_PID" ] && wait "$LAST_FAD_PID" 2>/dev/null
+  FLOOR=$(cat "$WORK/fad_floor.txt" 2>/dev/null \
+          || FAD --real "$DATA/train" --fake "$DATA/valid")
   echo "real-vs-real floor: $FLOOR"
   : > "$WORK/cfg_sweep.txt"
   for cs in 1.0 1.5 2.0 3.0 4.0; do
-    f=$(FAD --real "$DATA/train" --fake "$WORK/eval_heun32_cfg$cs/test_samples")
+    f=$(fad_leg "eval_heun32_cfg$cs")
     echo "$cs $f" | tee -a "$WORK/cfg_sweep.txt"
   done
   BEST=$(sort -k2 -g "$WORK/cfg_sweep.txt" | head -1 | cut -d' ' -f1)
@@ -118,22 +154,27 @@ if run_phase 5; then
   banner "5c: int8 serving leg @ cond_scale=$BEST + direct gate"
   ADT_INT8=1 run_eval "$WORK/eval_heun32_int8" experiment=$HEUN_EXP \
     "${COMMON[@]}" model.sampler.cond_scale=$BEST
+  fad_bg eval_heun32_int8
 
   banner "5d: quality-vs-NFE frontier @ cond_scale=$BEST"
   for steps in 16 32 50; do
     run_eval "$WORK/eval_dpm3m_$steps" experiment=$DPM_EXP "${COMMON[@]}" \
       sampler_steps=$steps model.sampler.order=3 model.sampler.cond_scale=$BEST
+    fad_bg "eval_dpm3m_$steps"
   done
   run_eval "$WORK/eval_unipc_16" experiment=$UNIPC_EXP "${COMMON[@]}" \
     sampler_steps=16 model.sampler.cond_scale=$BEST
+  fad_bg eval_unipc_16
   for steps in 16 50; do
     run_eval "$WORK/eval_adpm2_$steps" experiment=$ADPM2_EXP "${COMMON[@]}" \
       data.batch_size=128 model.sampler.num_steps=$steps \
       model.noise_scheduler.num_steps=$steps model.sampler.cond_scale=$BEST
+    fad_bg "eval_adpm2_$steps"
   done
   for steps in 16 32; do
     run_eval "$WORK/eval_pf_$steps" experiment=$PF_EXP "${COMMON[@]}" \
       sampler_steps=$steps model.sampler.cond_scale=$BEST
+    fad_bg "eval_pf_$steps"
   done
 
   banner "5e: EMA-std sweep @ winning heun leg (0.05 / 0.15)"
@@ -142,7 +183,11 @@ if run_phase 5; then
     run_eval "$WORK/eval_heun32_emastd$std" experiment=$HEUN_EXP \
       data.data_dir="$DATA" ckpt_path="$CKPT" model.ema_ckpt_path="$R" \
       model.total_test_samples=$SAMPLES model.sampler.cond_scale=$BEST
+    fad_bg "eval_heun32_emastd$std"
   done
+  # join the FAD chain so phase 6 sees every background result on disk
+  [ -n "$LAST_FAD_PID" ] && wait "$LAST_FAD_PID" 2>/dev/null
+  wait
 fi
 
 EXPECTED_LEGS=(eval_heun32_cfg1.0 eval_heun32_cfg1.5 eval_heun32_cfg2.0
@@ -158,12 +203,15 @@ if run_phase 6; then
     [ "$n" -ge "$SAMPLES" ] || die "leg $leg incomplete ($n/$SAMPLES wavs)"
   done
   BEST=$(cat "$WORK/best_cond_scale.txt")
+  FLOOR=$(cat "$WORK/fad_floor.txt" 2>/dev/null \
+          || FAD --real "$DATA/train" --fake "$DATA/valid")
+  [ -n "$FLOOR" ] || die "floor FAD failed"
   {
     echo "{"
-    echo "  \"floor_real_vs_real\": $(FAD --real "$DATA/train" --fake "$DATA/valid"),"
+    echo "  \"floor_real_vs_real\": $FLOOR,"
     echo "  \"best_cond_scale\": $BEST,"
     for leg in "${EXPECTED_LEGS[@]}"; do
-      f=$(FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples")
+      f=$(fad_leg "$leg")
       [ -n "$f" ] || die "FAD failed for $leg"
       echo "  \"$leg\": $f,"
     done
