@@ -21,6 +21,7 @@ reference (``src/train.py:34-105``, ``diffunet_complex_module.py:127-266``,
 from __future__ import annotations
 
 import os
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
@@ -41,7 +42,7 @@ from ..parallel.mesh import (
     shard_batch,
     shard_params_fsdp,
 )
-from ..utils.packing import device_get_packed
+from ..utils.packing import device_get_packed, pack_tree, unpack_tree
 from .ema import PowerFunctionEMA, TraditionalEMA
 from .logging import BaseLogger
 
@@ -135,6 +136,43 @@ def _resolve_limit(limit, n_batches: int):
     return limit
 
 
+class _BackgroundCkptWriter:
+    """Drains checkpoint writes off the train loop, one at a time.
+
+    The device->host pull of a ~800 MB train state through a high-latency
+    TPU link plus the orbax write stalls training for minutes per save.
+    ``pack_tree`` runs synchronously on the caller's thread (its eager
+    concatenations allocate fresh device buffers, so the donated train step
+    cannot invalidate them), then the fetch + disk write run here while the
+    device keeps stepping.  Threads are non-daemon: the interpreter joins
+    them at exit, so a normal shutdown never truncates a checkpoint.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def submit(self, fn):
+        self.join()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — surfaced on next join
+                self._error = e
+
+        self._thread = threading.Thread(target=run, name="ckpt-writer", daemon=False)
+        self._thread.start()
+
+    def join(self):
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint write failed") from err
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -176,6 +214,7 @@ class Trainer:
         overfit_batches: int = 0,  # train AND validate on the first N batches
         limit_test_batches: Optional[int] = None,
         callbacks: Optional[Sequence] = None,  # Callback hook objects
+        async_checkpoint: bool = True,  # overlap ckpt d2h+write with training
     ):
         self.task = task
         if accumulate_grad_batches > 1:
@@ -271,6 +310,11 @@ class Trainer:
         self._compiled_val_step = None
         self._sample_fn = None
         self._ckpt = ocp.PyTreeCheckpointer()
+        # orbax saves are collective in multi-process runs (they barrier on
+        # every process); a background thread would race the main thread's
+        # collectives, so async is single-process only
+        self.async_checkpoint = bool(async_checkpoint) and jax.process_count() == 1
+        self._ckpt_writer = _BackgroundCkptWriter()
 
     def _wire_sp_core(self):
         """(Re)bind the ring-attention core to the CURRENT mesh — the core
@@ -578,6 +622,7 @@ class Trainer:
 
         # always leave a resumable 'last' even if no epoch ran
         self.save_checkpoint(state, name="last")
+        self._ckpt_writer.join()  # flush async writes + surface their errors
         for cb in self.callbacks:
             cb.on_fit_end(self, state)
         return state
@@ -681,20 +726,44 @@ class Trainer:
         # that never enter the barrier. Every process calls save; orbax
         # writes host/replicated data from the primary only.
         path = (self.ckpt_dir / name).absolute()
-        payload = device_get_packed(
-            {
-                "step": state.step,
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "ema_state": state.ema_state,
-                "cur_nitem": state.cur_nitem,
-                "epoch": state.epoch,
-                "best_val_loss": jnp.asarray(
-                    self.best_val_loss if np.isfinite(self.best_val_loss) else 1e30
-                ),
-            }
-        )
-        self._ckpt.save(path, payload, force=True)
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_state": state.ema_state,
+            "cur_nitem": state.cur_nitem,
+            "epoch": state.epoch,
+            "best_val_loss": jnp.asarray(
+                self.best_val_loss if np.isfinite(self.best_val_loss) else 1e30
+            ),
+        }
+        if self.async_checkpoint:
+            packed, spec = pack_tree(payload)
+            self._ckpt_writer.submit(
+                lambda: self._write_ckpt(path, unpack_tree(jax.device_get(packed), spec))
+            )
+        else:
+            self._write_ckpt(path, device_get_packed(payload))
+
+    def _write_ckpt(self, path: Path, payload_host):
+        """Write a host payload; 'last' is replaced via an atomic sibling swap.
+
+        orbax's force-overwrite rmtree's the existing directory BEFORE the
+        (minutes-long on a slow link) write starts, so a crash mid-save would
+        leave NO resumable checkpoint.  Writing to 'last.new' and swapping
+        shrinks the unprotected window to two renames; the previous 'last'
+        survives as 'last.old' crash insurance until the next save.
+        """
+        if path.name == "last" and path.exists() and jax.process_count() == 1:
+            import shutil
+
+            new, old = path.with_name("last.new"), path.with_name("last.old")
+            self._ckpt.save(new, payload_host, force=True)
+            shutil.rmtree(old, ignore_errors=True)
+            path.rename(old)
+            new.rename(path)
+        else:
+            self._ckpt.save(path, payload_host, force=True)
 
     def _prune_checkpoints(self):
         """Keep only the newest ``ckpt_keep_last`` epoch_* checkpoints
@@ -711,7 +780,15 @@ class Trainer:
             except (IndexError, ValueError):
                 return -1
 
-        epochs = sorted(self.ckpt_dir.glob("epoch_*"), key=_epoch_num)
+        epochs = sorted(
+            (
+                p
+                for p in self.ckpt_dir.glob("epoch_*")
+                # never prune an in-flight orbax tmp dir (async writer)
+                if ".orbax-checkpoint-tmp" not in p.name
+            ),
+            key=_epoch_num,
+        )
         for old in epochs[: -self.ckpt_keep_last]:
             shutil.rmtree(old, ignore_errors=True)
 
@@ -727,6 +804,7 @@ class Trainer:
         converged-quality run is graded on. ``strict=False`` (eval/generate/
         enhance) keeps the lenient fallback — inference only needs params.
         """
+        self._ckpt_writer.join()  # never restore a checkpoint mid-write
         target = device_get_packed(
             {
                 "step": state.step,
@@ -808,10 +886,28 @@ class Trainer:
         snap_dir = (self.output_dir / "ema_snapshots").absolute()
         if is_main_process():
             snap_dir.mkdir(parents=True, exist_ok=True)
-        for ema_params, suffix in self.ema.get(device_get_packed(state.ema_state)):
-            path = snap_dir / f"ema_prof{suffix}_{step}"
-            half = jax.tree.map(lambda p: np.asarray(p, np.float16), ema_params)
-            self._ckpt.save(path, half, force=True)
+
+        def write(ema_state_host):
+            for ema_params, suffix in self.ema.get(ema_state_host):
+                path = snap_dir / f"ema_prof{suffix}_{step}"
+                half = jax.tree.map(lambda p: np.asarray(p, np.float16), ema_params)
+                self._ckpt.save(path, half, force=True)
+
+        # snapshots are stored fp16 — cast ON DEVICE before the fetch so the
+        # (bandwidth-bound) d2h moves half the bytes; ema.get is a pure
+        # passthrough of the profiles, so this is bit-identical to casting
+        # on the host
+        half_state = jax.tree.map(
+            lambda p: p.astype(jnp.float16) if isinstance(p, jax.Array) else p,
+            state.ema_state,
+        )
+        if self.async_checkpoint:
+            packed, spec = pack_tree(half_state)
+            self._ckpt_writer.submit(
+                lambda: write(unpack_tree(jax.device_get(packed), spec))
+            )
+        else:
+            write(device_get_packed(half_state))
 
     def load_ema_params(self, path, like_params):
         target = jax.tree.map(

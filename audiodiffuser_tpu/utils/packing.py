@@ -7,10 +7,12 @@ of its byte size.  Measured on the round-4 soak: 794 MB 'last' checkpoint
 ~480s, 79 MB EMA snapshot ~90s — both ~0.24 s/leaf, i.e. latency-bound,
 not bandwidth-bound.
 
-``device_get_packed`` concatenates the leaves into one flat device array per
-dtype first (a handful of cheap on-device ops), fetches those few large
-buffers, and re-slices them on the host.  This turns ~2000 round trips into
-~4.
+``pack_tree`` concatenates the leaves into one flat device array per dtype
+(a handful of cheap on-device ops), so the host fetch is ~4 large transfers
+instead of ~2000 round trips.  The packed buffers are freshly allocated by
+eager XLA ops, which decouples them from the caller's arrays: a donated
+train step may invalidate the originals while a background thread is still
+draining the packed copies (see trainer._BackgroundCkptWriter).
 
 No reference counterpart (/root/reference trains against local CUDA
 devices, where per-transfer latency is negligible); this is TPU-tunnel /
@@ -24,42 +26,64 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["device_get_packed"]
+__all__ = ["pack_tree", "unpack_tree", "device_get_packed"]
 
 
-def device_get_packed(tree):
-    """Fetch a pytree of device arrays to host numpy with few transfers.
+def pack_tree(tree):
+    """On-device packing of a pytree into one flat buffer per dtype.
 
-    Semantics match ``jax.device_get(tree)``: returns the same pytree
-    structure with every jax array replaced by a host ``np.ndarray`` of the
-    same shape/dtype.  Non-jax leaves (numpy arrays, python scalars) pass
-    through unchanged.  Multi-device (sharded) arrays are supported — the
-    on-device ``concatenate`` gathers them, same as ``device_get`` would.
+    Returns ``(packed, spec)`` where ``packed`` is a dict
+    ``{dtype_str: flat device array}`` of freshly-allocated device buffers
+    and ``spec`` carries everything ``unpack_tree`` needs to rebuild the
+    original structure.  Non-jax leaves (numpy arrays, python scalars) ride
+    along in the spec untouched.
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = [None] * len(leaves)
     groups: dict[str, list[int]] = {}
+    passthrough: dict[int, object] = {}
+    metas: list = []
     for i, leaf in enumerate(leaves):
         if isinstance(leaf, jax.core.Tracer):
-            # called under trace (shouldn't happen) — defer to device_get
-            return jax.device_get(tree)
+            raise TypeError("pack_tree cannot run under a jax trace")
         if isinstance(leaf, jax.Array):
             groups.setdefault(str(leaf.dtype), []).append(i)
+            metas.append((str(leaf.dtype), tuple(leaf.shape), int(leaf.size)))
         else:
-            out[i] = leaf
+            passthrough[i] = leaf
+            metas.append(None)
 
-    # One flat buffer per dtype, one dict fetch for all of them.
     packed = {}
     for dt, idxs in groups.items():
         flats = [leaves[i].reshape(-1) for i in idxs]
-        packed[dt] = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
-    packed_host = jax.device_get(packed)
+        if len(flats) == 1:
+            # concatenate with an empty tail: guarantees the eager op
+            # allocates a fresh output buffer instead of aliasing the
+            # caller's (a bare reshape may alias)
+            flats = flats + [jnp.zeros((0,), flats[0].dtype)]
+        packed[dt] = jnp.concatenate(flats)
+    return packed, (treedef, metas, passthrough)
 
-    for dt, idxs in groups.items():
+
+def unpack_tree(packed_host, spec):
+    """Rebuild the original pytree from fetched flat buffers."""
+    treedef, metas, passthrough = spec
+    offsets = {dt: 0 for dt in packed_host}
+    out = []
+    for i, meta in enumerate(metas):
+        if meta is None:
+            out.append(passthrough[i])
+            continue
+        dt, shape, size = meta
         buf = np.asarray(packed_host[dt])
-        off = 0
-        for i in idxs:
-            n = leaves[i].size
-            out[i] = buf[off : off + n].reshape(leaves[i].shape)
-            off += n
+        out.append(buf[offsets[dt] : offsets[dt] + size].reshape(shape))
+        offsets[dt] += size
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def device_get_packed(tree):
+    """Drop-in for ``jax.device_get(tree)`` using the packed transfer path."""
+    try:
+        packed, spec = pack_tree(tree)
+    except TypeError:
+        return jax.device_get(tree)
+    return unpack_tree(jax.device_get(packed), spec)

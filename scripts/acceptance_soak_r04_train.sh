@@ -78,10 +78,17 @@ if run_phase 3; then
   # Progress-aware auto-restart: the dev-tunnel TPU worker crashes
   # sporadically; retry only while each attempt advances the step counter.
   for attempt in $(seq 1 40); do
+    # resume priority: last -> last.old (atomic-swap backup) -> newest
+    # epoch_*; NEVER silently start fresh — that would discard the run.
     RESUME=()
-    [ -d "$WORK/train/checkpoints/last" ] \
-      && RESUME=(ckpt_path="$WORK/train/checkpoints/last") \
-      || echo "WARNING: no 'last' checkpoint found; starting fresh"
+    for cand in "$WORK/train/checkpoints/last" \
+                "$WORK/train/checkpoints/last.old" \
+                $(ls -d "$WORK"/train/checkpoints/epoch_* 2>/dev/null | sort -t_ -k2 -rn); do
+      [ -d "$cand" ] && { RESUME=(ckpt_path="$cand"); break; }
+    done
+    if [ ${#RESUME[@]} -eq 0 ] && [ -f "$WORK/train/csv/metrics.csv" ]; then
+      echo "FATAL: training progressed but no resumable checkpoint found"; exit 1
+    fi
     before=$(tail -1 "$WORK/train/csv/metrics.csv" 2>/dev/null | cut -d, -f1)
     before=${before:-0}
     python train.py "${TRAIN_ARGS[@]}" ${RESUME[@]+"${RESUME[@]}"}

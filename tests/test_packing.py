@@ -102,6 +102,25 @@ def test_matches_device_get_on_trainstate_like_tree():
     _assert_tree_equal(device_get_packed(tree), jax.device_get(tree))
 
 
+def test_packed_buffers_survive_source_deletion():
+    """pack_tree must allocate fresh device buffers: the donated train step
+    invalidates the source arrays while the background checkpoint writer is
+    still draining the packed copies."""
+    from audiodiffuser_tpu.utils.packing import pack_tree, unpack_tree
+
+    src = {
+        "many": [jnp.full((4, 5), float(i)) for i in range(3)],
+        "lone_int": jnp.asarray(42, jnp.int32),  # singleton dtype group
+    }
+    packed, spec = pack_tree(src)
+    for leaf in jax.tree_util.tree_leaves(src):
+        leaf.delete()  # simulate donation invalidating the source
+    got = unpack_tree(jax.device_get(packed), spec)
+    for i in range(3):
+        np.testing.assert_array_equal(got["many"][i], np.full((4, 5), float(i)))
+    assert got["lone_int"] == 42
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 def test_dtype_preserved(dtype):
     x = {"a": jnp.asarray([1.5, 2.5], dtype), "b": jnp.asarray([[4.0]], dtype)}
