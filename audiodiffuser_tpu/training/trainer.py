@@ -39,10 +39,16 @@ from ..parallel.mesh import (
     create_mesh,
     is_main_process,
     replicate,
+    replicated_sharding,
     shard_batch,
     shard_params_fsdp,
 )
-from ..utils.packing import device_get_packed, pack_tree, unpack_tree
+from ..utils.packing import (
+    device_get_packed,
+    device_put_packed,
+    pack_tree,
+    unpack_tree,
+)
 from .ema import PowerFunctionEMA, TraditionalEMA
 from .logging import BaseLogger
 
@@ -402,6 +408,13 @@ class Trainer:
             return jax.tree.map(
                 jax.device_put, state, tp_shardings(self.mesh, state, TP_RULES_UNET)
             )
+        if jax.process_count() == 1:
+            # host->device path of a checkpoint restore: the ~2000 numpy
+            # leaves orbax hands back would otherwise pay one tunnel
+            # round-trip each (mirror of the d2h fix in save_checkpoint);
+            # already-on-device leaves fall through to plain device_put
+            # inside device_put_packed.
+            return device_put_packed(state, replicated_sharding(self.mesh))
         return replicate(self.mesh, state)
 
     # -- jitted steps ---------------------------------------------------------

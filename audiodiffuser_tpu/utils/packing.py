@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_tree", "unpack_tree", "device_get_packed"]
+__all__ = ["pack_tree", "unpack_tree", "device_get_packed", "device_put_packed"]
 
 
 def pack_tree(tree):
@@ -87,3 +87,60 @@ def device_get_packed(tree):
     except TypeError:
         return jax.device_get(tree)
     return unpack_tree(jax.device_get(packed), spec)
+
+
+def device_put_packed(tree, sharding=None):
+    """Latency-aware mirror of ``jax.device_put(tree, sharding)`` for h2d.
+
+    ``jax.device_put`` issues one transfer per leaf; a checkpoint restore
+    that uploads a ~2000-leaf train state through a remote TPU tunnel pays
+    the same ~0.24 s/leaf round-trip tax as the d2h direction (~8 min per
+    eval leg measured in the round-3 soak).  Here the host-side leaves are
+    concatenated into one flat numpy buffer per dtype (cheap memcpy), those
+    few big buffers are uploaded, and a single jitted program re-slices them
+    on device — its HLO depends only on the tree structure, so the
+    persistent compilation cache makes the unpack free from the second
+    restore onward.
+
+    Leaves that are already ``jax.Array`` (or non-arrays) fall back to plain
+    ``device_put`` — device-to-device placement has no tunnel latency to
+    hide.  ``sharding`` (e.g. a replicated ``NamedSharding``) is applied to
+    every uploaded leaf; ``None`` keeps jax's default placement.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups: dict[str, list[int]] = {}
+    out = [None] * len(leaves)
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, np.ndarray) and leaf.dtype != object:
+            groups.setdefault(str(leaf.dtype), []).append(i)
+        elif isinstance(leaf, (bool, int, float, np.generic)):
+            # scalars: a single tiny transfer each is fine, and packing them
+            # would quietly promote python ints/floats to a common dtype
+            out[i] = jax.device_put(leaf, sharding)
+        elif isinstance(leaf, jax.Array) and sharding is not None:
+            out[i] = jax.device_put(leaf, sharding)
+        else:
+            out[i] = leaf if sharding is None else jax.device_put(leaf, sharding)
+
+    if groups:
+        bufs = {}
+        metas = {}  # dtype -> [(leaf index, shape, size), ...]
+        for dt, idxs in groups.items():
+            flats = [leaves[i].reshape(-1) for i in idxs]
+            bufs[dt] = flats[0] if len(flats) == 1 else np.concatenate(flats)
+            metas[dt] = [(i, leaves[i].shape, leaves[i].size) for i in idxs]
+        dev_bufs = jax.device_put(bufs, sharding)  # ~one transfer per dtype
+
+        def unpack(dbufs):
+            res = {}
+            for dt, entries in metas.items():
+                off = 0
+                for i, shape, size in entries:
+                    res[i] = jax.lax.slice(dbufs[dt], (off,), (off + size,)).reshape(shape)
+                    off += size
+            return res
+
+        unpacked = jax.jit(unpack, out_shardings=sharding)(dev_bufs)
+        for i, arr in unpacked.items():
+            out[i] = arr
+    return jax.tree_util.tree_unflatten(treedef, out)

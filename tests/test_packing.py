@@ -127,3 +127,71 @@ def test_dtype_preserved(dtype):
     got = device_get_packed(x)
     assert got["a"].dtype == np.dtype(jnp.dtype(dtype))
     assert got["b"].dtype == np.dtype(jnp.dtype(dtype))
+
+
+# -- device_put_packed (h2d mirror, used by trainer._place_state) -------------
+
+
+def _host_trainstate_like_tree():
+    rng = np.random.default_rng(3)
+    params = {
+        f"layer_{i}": {
+            "kernel": rng.standard_normal((8, 8)).astype(np.float32),
+            "bias": np.zeros((8,), np.float32),
+            "half": rng.standard_normal((4,)).astype(np.float16),
+        }
+        for i in range(12)
+    }
+    return {
+        "step": np.asarray(7200, np.int32),
+        "params": params,
+        "opt_state": {"m": params, "v": params, "count": np.asarray(7200)},
+        "flags": np.asarray([True, False]),
+        "py_scalar": 4,
+        "best_val_loss": np.asarray(0.42, np.float32),
+    }
+
+
+def test_device_put_packed_matches_device_put():
+    from audiodiffuser_tpu.utils.packing import device_put_packed
+
+    tree = _host_trainstate_like_tree()
+    got = device_put_packed(tree)
+    want = jax.device_put(tree)
+    _assert_tree_equal(jax.device_get(got), jax.device_get(want))
+    # all numpy-array leaves landed on device
+    la, _ = jax.tree_util.tree_flatten(got)
+    for leaf in la:
+        assert isinstance(leaf, jax.Array)
+
+
+def test_device_put_packed_with_sharding():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from audiodiffuser_tpu.utils.packing import device_put_packed
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    sh = NamedSharding(mesh, PartitionSpec())
+    tree = _host_trainstate_like_tree()
+    got = device_put_packed(tree, sh)
+    want = jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    _assert_tree_equal(jax.device_get(got), jax.device_get(want))
+    for leaf in jax.tree_util.tree_leaves(got):
+        if isinstance(leaf, jax.Array):
+            assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+
+
+def test_device_put_packed_mixed_device_and_host_leaves():
+    """Fresh-init path: leaves already on device pass through untouched."""
+    from audiodiffuser_tpu.utils.packing import device_put_packed
+
+    tree = {
+        "dev": jnp.arange(6, dtype=jnp.float32),
+        "host": np.full((2, 3), 2.5, np.float32),
+        "empty": np.zeros((0, 4), np.float32),
+        "zero_d": np.asarray(1.25, np.float32),
+    }
+    got = device_put_packed(tree)
+    _assert_tree_equal(jax.device_get(got), jax.device_get(tree))
+    assert got["empty"].shape == (0, 4)
+    assert got["zero_d"].shape == ()
