@@ -74,30 +74,35 @@ for line in reversed(sys.stdin.read().splitlines()):
         print(json.loads(line)["fad"]); break'; }
 
 # Overlap the CPU-only FAD of a finished leg with the TPU generation of the
-# next one.  FADs are chained (one at a time — single-CPU box) but run
-# concurrently with eval.py, whose host side is mostly idle while the
-# sampler scan executes on device.  Results land in $WORK/fad_leg_<leg>.txt;
-# phase 6 reads the file when present and computes inline when not, so a
-# lost background job degrades to the old serial behaviour, never to a
-# missing artifact.
+# next one.  FADs are serialized via flock (one at a time — single-CPU box;
+# `wait $pid` can't chain here because each job is a subshell and wait only
+# sees children of the CURRENT shell) but run concurrently with eval.py,
+# whose host side is mostly idle while the sampler scan executes on device.
+# Results land in $WORK/fad_leg_<leg>.txt; phase 6 reads the file when
+# present and computes inline when not, so a lost background job degrades
+# to the old serial behaviour, never to a missing artifact.
+FAD_LOCK=$WORK/.fad_lock
 LAST_FAD_PID=
 fad_bg() {
   local leg=$1
   [ -s "$WORK/fad_leg_$leg.txt" ] && return 0
-  local prev=$LAST_FAD_PID
   (
-    [ -n "$prev" ] && wait "$prev" 2>/dev/null
+    flock 9
     f=$(FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples")
     [ -n "$f" ] && { echo "$f" > "$WORK/.fad_leg_$leg.tmp" \
                      && mv "$WORK/.fad_leg_$leg.tmp" "$WORK/fad_leg_$leg.txt"; }
     echo "[fad_bg] $leg -> ${f:-FAILED}"
-  ) &
+  ) 9>>"$FAD_LOCK" &
   LAST_FAD_PID=$!
 }
 fad_leg() {  # read a background result, computing inline as fallback
   local leg=$1
   [ -s "$WORK/fad_leg_$leg.txt" ] && { cat "$WORK/fad_leg_$leg.txt"; return 0; }
-  FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples"
+  (
+    flock 9  # drain queued background jobs first -- one may be THIS leg's
+    [ -s "$WORK/fad_leg_$leg.txt" ] && { cat "$WORK/fad_leg_$leg.txt"; exit 0; }
+    FAD --real "$DATA/train" --fake "$WORK/$leg/test_samples"
+  ) 9>>"$FAD_LOCK"
 }
 
 HEUN_EXP=sc09_inference/diffunet_complex_sc09_phema_eval_heun
@@ -127,8 +132,8 @@ if run_phase 5; then
   banner "5a: guidance sweep @ 32-step Heun (cond_scale 1.0..4.0)"
   # floor FAD (real-vs-real) only needs the dataset: overlap it with leg 1
   if [ ! -s "$WORK/fad_floor.txt" ]; then
-    ( f=$(FAD --real "$DATA/train" --fake "$DATA/valid"); \
-      [ -n "$f" ] && echo "$f" > "$WORK/fad_floor.txt" ) &
+    ( flock 9; f=$(FAD --real "$DATA/train" --fake "$DATA/valid"); \
+      [ -n "$f" ] && echo "$f" > "$WORK/fad_floor.txt" ) 9>>"$FAD_LOCK" &
     LAST_FAD_PID=$!
   fi
   for cs in 1.0 1.5 2.0 3.0 4.0; do
