@@ -49,6 +49,44 @@ def class_of(path: Path) -> int:
     return -1
 
 
+def _ckpt_fingerprint(path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in sorted(Path(path).rglob("*")):
+        if f.is_file():
+            h.update(f.name.encode())
+            h.update(f.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def embed_and_classify_cached(dirpath, files, embedder_model, params,
+                              cache_key, batch: int = 64):
+    """Like embed_and_classify, memoised on disk per directory.
+
+    The quality report runs this script once per eval leg (16+ subprocess
+    invocations in the round-4 soak), and every invocation embeds the SAME
+    10k-wav real corpus — ~17x redundant work on a single-CPU box. Cache the
+    clip-pooled embeddings + predictions in ``<dir>/.quality_emb_<key>.npz``
+    keyed by the embedder-checkpoint fingerprint, invalidated by the same
+    content fingerprint the FAD stats cache uses (``fad._dir_fingerprint``).
+    """
+    from audiodiffuser_tpu.evaluation.fad import _dir_fingerprint
+
+    cache = Path(dirpath) / f".quality_emb_{cache_key}.npz" if cache_key else None
+    fp = _dir_fingerprint(dirpath) if cache is not None else None
+    if cache is not None and cache.exists():
+        z = np.load(cache)
+        if "dir_fp" in z and str(z["dir_fp"]) == fp:
+            return z["emb"], z["pred"]
+    emb, pred = embed_and_classify(files, embedder_model, params, batch)
+    if cache is not None:
+        tmp = cache.with_name(cache.name + ".tmp.npz")
+        np.savez(tmp, emb=emb, pred=pred, dir_fp=fp)
+        os.replace(tmp, cache)
+    return emb, pred
+
+
 def embed_and_classify(files, embedder_model, params, batch: int = 64):
     """-> (embeddings [N,D] pooled per clip, predicted class [N])."""
     import jax
@@ -117,8 +155,13 @@ def main():
     fake_cls = np.array([class_of(p) for p in fake])
     real_cls = np.array([class_of(p) for p in real])
 
-    fake_emb, fake_pred = embed_and_classify(fake, model, params, args.batch)
-    real_emb, real_pred = embed_and_classify(real, model, params, args.batch)
+    cache_key = _ckpt_fingerprint(args.embedder_ckpt)
+    fake_emb, fake_pred = embed_and_classify_cached(
+        args.samples, fake, model, params, cache_key, args.batch
+    )
+    real_emb, real_pred = embed_and_classify_cached(
+        args.real, real, model, params, cache_key, args.batch
+    )
 
     out = {}
     out["n_samples"] = len(fake)

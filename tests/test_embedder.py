@@ -100,3 +100,51 @@ def test_embedder_save_load_roundtrip(tmp_path):
     emb = load_embedder(str(ckpt))
     out = emb(np.zeros((2, 16000), np.float32))
     assert out.shape == (2, 128)
+
+
+def test_eval_quality_cache_roundtrip(tmp_path):
+    """embed_and_classify_cached memoises per directory and invalidates on
+    wav-content change (the round-4 quality report embeds the same 10k-wav
+    real corpus from 17 subprocess invocations without this)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parents[1] / "scripts"))
+    from eval_quality import embed_and_classify_cached
+
+    from audiodiffuser_tpu.data.sc09 import save_wav
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(4):
+        f = d / f"test_{i % 2}_{i}.wav"
+        save_wav(str(f), rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+        files.append(f)
+
+    model = VGGish(num_classes=10, width_mult=0.125)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, PATCH_FRAMES, 64))
+    )["params"]
+
+    emb1, pred1 = embed_and_classify_cached(d, files, model, params, "k1", batch=2)
+    cache = d / ".quality_emb_k1.npz"
+    assert cache.exists()
+
+    # cache hit: serve the stored values even if the npz is tampered with
+    z = dict(np.load(cache))
+    np.savez(cache, emb=z["emb"] + 100.0, pred=z["pred"], dir_fp=z["dir_fp"])
+    emb2, _ = embed_and_classify_cached(d, files, model, params, "k1", batch=2)
+    assert np.allclose(emb2, emb1 + 100.0)
+
+    # regenerating a wav in place invalidates the fingerprint -> recompute
+    import os
+    import time
+
+    save_wav(str(files[0]), rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    now = time.time() + 2
+    os.utime(files[0], (now, now))
+    emb3, pred3 = embed_and_classify_cached(d, files, model, params, "k1", batch=2)
+    assert not np.allclose(emb3, emb1 + 100.0)
+    assert pred3.shape == pred1.shape
