@@ -54,11 +54,37 @@ MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", 64))
 STEPS = 32
 
 # serving configuration: the W8A8 static-scale int8 path is the default
-# (ADT_INT8=0 restores bf16). Quality evidence on a trained checkpoint
-# (logs/soak_r02): learned-embedder FAD 3710.5 int8 vs 3584.5 bf16 on the
-# same DPM-50 workload — a 3.5% delta, vs a 63% spread between samplers —
-# and analytic FLOPs are always counted on the full-precision formulation.
-os.environ.setdefault("ADT_INT8", "1")
+# ONLY while the acceptance soak's quality gate holds (ADT_INT8=0/1 always
+# wins). The gate is the direct int8-vs-bf16 FAD at the headline 32-Heun
+# leg on the newest converged checkpoint, accepted iff <= 2x the
+# real-vs-real floor (logs/soak_r*/fad_raw.json, written by
+# scripts/acceptance_soak_r04.sh phase 6). A rejected gate flips the
+# headline to bf16: honesty beats the bigger number. Analytic FLOPs are
+# always counted on the full-precision formulation either way.
+
+
+def _int8_gate_default() -> str:
+    try:
+        runs = sorted(ROOT.glob("logs/soak_r*/fad_raw.json"))
+        if not runs:
+            return "1"  # pre-soak evidence: logs/soak_r02 3.5% FAD delta
+        data = json.loads(runs[-1].read_text())
+        direct = data.get("direct_int8_vs_bf16_heun32")
+        floor = data.get("floor_real_vs_real")
+        if not isinstance(direct, (int, float)) or not floor:
+            return "1"
+        ok = direct <= 2.0 * floor
+        print(
+            f"# int8 gate ({runs[-1]}): direct int8-vs-bf16 FAD {direct} vs "
+            f"2x floor {2 * floor:.2f} -> {'ACCEPT' if ok else 'REJECT (bf16 headline)'}",
+            file=sys.stderr,
+        )
+        return "1" if ok else "0"
+    except Exception:
+        return "1"
+
+
+os.environ.setdefault("ADT_INT8", _int8_gate_default())
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.25  # central estimate for eager fp16 conv UNets
 
@@ -252,6 +278,11 @@ def run(BATCH):
                 # smaller batch on small-memory devices — record it so a
                 # batch-16 run can't masquerade as the batch-128 workload
                 "batch": BATCH,
+                # serving precision actually used (int8 defaults from the
+                # newest acceptance-soak quality gate; see _int8_gate_default)
+                "serving": "int8"
+                if os.environ.get("ADT_INT8") == "1"
+                else "bf16",
             }
         )
     )
