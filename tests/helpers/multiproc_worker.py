@@ -87,7 +87,36 @@ def main():
             coordinator_address=f"localhost:{args.port}",
             num_processes=args.nprocs,
             process_id=args.procid,
+            # an oversubscribed CI box can skew the workers by minutes
+            # (XLA:CPU compiles on a shared core); don't let liveness
+            # heuristics kill a straggler
+            heartbeat_timeout_seconds=300,
+            shutdown_timeout_seconds=1200,
         )
+
+    def barrier(name: str, timeout_ms: int = 1_200_000):
+        """Coordination-service barrier (NOT a gloo collective).
+
+        Every gloo collective tolerates only ~30 s of inter-worker skew
+        (hardcoded KV timeout in XLA's gloo context rendezvous + op
+        timeouts), while an XLA:CPU compile on a loaded box can skew the
+        workers by minutes. The pattern throughout this worker is:
+        compile LOCALLY first (AOT .lower().compile()), then rendezvous
+        here with a generous timeout, then execute the collective-bearing
+        program in lockstep.
+        """
+        if multi:
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+    if multi:
+        barrier("worker-start")
+        # establish the gloo context at near-zero skew (its rendezvous has
+        # the 30 s KV timeout; nothing heavy has run yet on either worker)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("gloo-ctx")
 
     import optax
 
@@ -150,6 +179,11 @@ def main():
     trainer._compile()
     sharded = shard_batch(trainer.mesh, local)
     res["global_batch_shape"] = list(sharded["audio"].shape)
+    # compile locally (no communication), THEN rendezvous, THEN execute —
+    # see barrier()'s docstring; the executable also lands in the shared
+    # persistent compile cache, so the re-trace in the call below is cheap
+    trainer._compiled_train_step.lower(state, sharded, jax.random.key(123)).compile()
+    barrier("steponly-compiled")
     state2, metrics = trainer._compiled_train_step(
         state, sharded, jax.random.key(123)
     )
@@ -178,19 +212,28 @@ def main():
         # of XLA:CPU compile that add nothing to the multi-process assertions
         check_val_every_n_epoch=2,
     )
-    final = fit_trainer.fit(dm)
+    # warm fit's train-step jit (same shapes as the loader batches) before
+    # entering fit, so its first step doesn't open a minutes-long compile
+    # window between the workers right before a gloo collective
+    first = next(iter(dm.train_dataloader()))
+    fit_trainer._fit_mesh_to_batch(first["audio"].shape[0] * jax.process_count())
+    fit_state = fit_trainer.init_state(first)
+    fit_trainer._compile()
+    warm_batch = shard_batch(fit_trainer.mesh, first)
+    fit_trainer._compiled_train_step.lower(
+        fit_state, warm_batch, jax.random.key(0)
+    ).compile()
+    barrier("fit-compiled")
+    final = fit_trainer.fit(dm, state=fit_state)
     res["fit_steps"] = int(jax.device_get(final.step))
 
     (out / f"proc{args.procid}.json").write_text(json.dumps(res, indent=2))
     print(f"worker {args.procid} done: {res['fit_steps']} fit steps")
 
-    if multi:
-        # rendezvous before interpreter exit: on an oversubscribed CPU the
-        # fast process otherwise reaches the coordination-service shutdown
-        # barrier minutes before the slow one and the barrier times out
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("worker-exit")
+    # rendezvous before interpreter exit: on an oversubscribed CPU the fast
+    # process otherwise reaches the coordination-service shutdown barrier
+    # minutes before the slow one; coordination barrier, NOT a gloo sync
+    barrier("worker-exit")
 
 
 if __name__ == "__main__":
