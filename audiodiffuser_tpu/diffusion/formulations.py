@@ -51,7 +51,10 @@ def _cfg_apply(
     (default; ~2x MXU utilisation) or as two sequential calls
     (``cfg_batched=False``; halves peak activation memory).
     """
-    if cond_scale == 1.0:
+    # the ==1.0 shortcut only applies to a CONCRETE scale: a traced
+    # cond_scale (e.g. a guidance sweep jitted once over the scale argument)
+    # always takes the general CFG path, which is linear in the scale
+    if isinstance(cond_scale, (int, float)) and cond_scale == 1.0:
         return net(x, c_noise, cond_drop_prob=0.0, **cond)
     if not cfg_batched:
         x_pred = net(x, c_noise, cond_drop_prob=0.0, **cond)

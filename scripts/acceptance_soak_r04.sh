@@ -240,10 +240,28 @@ if run_phase 7; then
     --platform cpu --fad-json "$OUT/fad_raw.json" --out "$OUT/QUALITY.md" \
     || die "quality report failed"
   BEST=$(cat "$WORK/best_cond_scale.txt")
-  python scripts/fad_trend.py --work "$WORK" --data "$DATA" \
-    --out "$OUT/TREND.md" --max-snapshots 10 \
-    -o model.sampler.cond_scale=$BEST \
-    || die "fad_trend failed"
+  if ls "$WORK"/train/ema_snapshots/ema_prof-* >/dev/null 2>&1; then
+    python scripts/fad_trend.py --work "$WORK" --data "$DATA" \
+      --out "$OUT/TREND.md" --max-snapshots 10 \
+      --metrics-csv "$WORK/train/csv/metrics.csv" \
+      -o model.sampler.cond_scale=$BEST \
+      || die "fad_trend failed"
+  else
+    # snapshot series lost with /tmp at the round boundary: trend points
+    # come from already-generated legs (in-state EMA of the surviving full
+    # checkpoints via eval_grid_r04.py, plus the winning recon-87500 leg)
+    POINTS=()
+    for d in "$WORK"/eval_heun32_trend*/test_samples; do
+      [ -d "$d" ] || continue
+      step=$(basename "$(dirname "$d")" | sed 's/eval_heun32_trend//')
+      POINTS+=(--point "$step:$d")
+    done
+    POINTS+=(--point "87500:$WORK/eval_heun32_cfg$BEST/test_samples")
+    python scripts/fad_trend.py --work "$WORK" --data "$DATA" \
+      --out "$OUT/TREND.md" "${POINTS[@]}" \
+      --metrics-csv "$WORK/train/csv/metrics.csv" \
+      || die "fad_trend failed"
+  fi
   for f in QUALITY.md TREND.md fad_raw.json summary.json train_metrics.csv; do
     [ -s "$OUT/$f" ] || die "postcondition: $OUT/$f missing or empty"
   done

@@ -73,11 +73,34 @@ def main():
     ap.add_argument(
         "-o", "--override", action="append", default=[],
         help="extra eval.py config overrides (e.g. model.sampler.cond_scale=2.0)")
+    ap.add_argument(
+        "--point", action="append", default=[],
+        help="step:samples_dir — use an ALREADY-GENERATED sample set as a "
+             "trend point instead of generating from an EMA snapshot "
+             "(fallback when the snapshot series is gone; the round-4 soak "
+             "lost /tmp between rounds)")
+    ap.add_argument(
+        "--metrics-csv", default=None,
+        help="training metrics.csv; embeds the val-loss trajectory as "
+             "convergence evidence alongside the FAD points")
     args = ap.parse_args()
 
     work, data = Path(args.work), Path(args.data)
     ckpt = work / "train" / "checkpoints" / "last"
     embedder = work / "embedder"
+
+    if args.point:
+        rows = []
+        for spec in args.point:
+            step_s, _, d = spec.partition(":")
+            step = int(step_s)
+            fad = run_fad(data / "train", Path(d), embedder)
+            rows.append((step, step * args.batch_items, fad))
+            print(f"point step={step} dir={d} fad={fad}")
+        rows.sort()
+        write_report(args, rows, std="0.100", points_mode=True)
+        return
+
     snaps = sorted(
         work.glob("train/ema_snapshots/ema_prof-*"),
         key=lambda p: int(re.search(r"_(\d+)$", p.name).group(1)),
@@ -108,14 +131,49 @@ def main():
         fad = run_fad(data / "train", samples_dir, embedder)
         rows.append((step, step * args.batch_items, fad))
         print(f"{s.name}: step={step} fad={fad}")
+    write_report(args, rows, std=std, points_mode=False)
 
+
+def val_loss_rows(metrics_csv):
+    """(step, val_loss) pairs from the trainer's csv (val rows set column
+    'val/loss'; header names the columns)."""
+    try:
+        header, *lines = Path(metrics_csv).read_text().strip().splitlines()
+        cols = header.split(",")
+        si, vi = cols.index("step"), cols.index("val/loss")
+    except (OSError, ValueError):
+        return []
+    out = []
+    for line in lines:
+        f = line.split(",")
+        if len(f) > vi and f[vi]:
+            out.append((int(float(f[si])), float(f[vi])))
+    return out
+
+
+def write_report(args, rows, std, points_mode):
     out = [
-        "# FAD vs training items (EMA snapshot trend)",
+        "# FAD vs training items (EMA trend)",
         "",
-        f"{args.samples}-sample 32-step-Heun legs from power-function EMA",
-        f"snapshots (profile std {std}) of the round-3 soak; learned-embedder",
-        "(VGGish SC09 classifier) FAD vs the real training split. Small-sample",
-        "FAD is upward-biased vs the 2048-sample legs; read the shape.",
+    ]
+    if points_mode:
+        out += [
+            "Trend points from in-state EMA accumulators of the surviving",
+            "full checkpoints plus the step-87500 post-hoc reconstruction",
+            "(the per-snapshot series was lost with /tmp at the round",
+            "boundary — scripts/extract_ema_params.py documents the",
+            "recovery). Learned-embedder (VGGish SC09 classifier) FAD vs",
+            "the real training split; 512-sample mid-run legs are",
+            "upward-biased vs the 2048-sample final legs — read the shape.",
+        ]
+    else:
+        out += [
+            f"{args.samples}-sample 32-step-Heun legs from power-function EMA",
+            f"snapshots (profile std {std}); learned-embedder",
+            "(VGGish SC09 classifier) FAD vs the real training split. Small-sample",
+            "FAD is upward-biased vs the 2048-sample legs; read the shape.",
+        ]
+    out += [
         "",
         "| step | items seen | FAD |",
         "|---|---|---|",
@@ -123,6 +181,22 @@ def main():
     for step, items, fad in rows:
         fads = f"{fad:.1f}" if isinstance(fad, (int, float)) else "err"
         out.append(f"| {step} | {items:,} | {fads} |")
+    if args.metrics_csv:
+        vl = val_loss_rows(args.metrics_csv)
+        if vl:
+            out += [
+                "",
+                "## Validation-loss trajectory (every validation epoch)",
+                "",
+                "| step | val loss |",
+                "|---|---|",
+            ]
+            stride = max(len(vl) // 12, 1)
+            kept = vl[::stride]
+            if kept[-1] != vl[-1]:
+                kept.append(vl[-1])
+            for step, loss in kept:
+                out.append(f"| {step} | {loss:.4f} |")
     outp = Path(args.out)
     outp.parent.mkdir(parents=True, exist_ok=True)
     outp.write_text("\n".join(out) + "\n")
