@@ -17,6 +17,7 @@ Layout note: the network consumes NHWC spectrograms [B, F, T, 2]
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Optional
@@ -166,14 +167,26 @@ class DiffusionSpecTask:
         return jnp.mean(losses), losses
 
     # -- generation -----------------------------------------------------------
-    def synthesize_from_noise(self, params, initial_noise, classes, key=None):
+    def synthesize_from_noise(
+        self, params, initial_noise, classes, key=None, cond_scale=None
+    ):
         """Run the sampler from [B, F, T, 2] noise -> [B, T_audio] waveforms
-        (reference :82-102)."""
+        (reference :82-102).
+
+        ``cond_scale`` (optional, may be a traced scalar) overrides the
+        sampler's configured guidance scale *functionally*: samplers are
+        frozen dataclasses, so the override swaps in a ``dataclasses.replace``
+        copy rather than mutating shared state. A traced scale takes the
+        general CFG path in formulations._cfg_apply, so a guidance sweep can
+        share one compilation."""
         net_fn = self._net_fn(params, train=False)
+        sampler = self.sampler
+        if cond_scale is not None:
+            sampler = dataclasses.replace(sampler, cond_scale=cond_scale)
         fn = partial(
             self.diffusion.denoise_fn, net=net_fn, inference=True, classes=classes
         )
-        spec2 = self.sampler(initial_noise, fn, self.sigmas, key=key)
+        spec2 = sampler(initial_noise, fn, self.sigmas, key=key)
         return self.spec_to_audio(spec2)
 
     def noise_shape(self, batch_size: int):
@@ -184,17 +197,26 @@ class DiffusionSpecTask:
             2,
         )
 
-    def make_sample_fn(self, microbatch: Optional[int] = None) -> Callable:
+    def make_sample_fn(
+        self,
+        microbatch: Optional[int] = None,
+        with_cond_scale: bool = False,
+    ) -> Callable:
         """Jittable (params, key, classes) -> waveforms closure.
 
         ``microbatch`` (or the task's ``sample_microbatch`` field) splits the
         batch into sequential chunks inside the compiled function via
         ``lax.map`` — the reference-defined eval batch (128) exceeds the
         single-chip activation sweet spot, so generation runs as e.g. 2x64
-        without changing the workload or the RNG-per-sample contract."""
+        without changing the workload or the RNG-per-sample contract.
+
+        ``with_cond_scale=True`` returns a ``(params, key, classes,
+        cond_scale)`` closure whose guidance scale is a traced operand: a
+        whole guidance sweep shares ONE compilation (the scale enters
+        linearly in formulations._cfg_apply)."""
         microbatch = microbatch if microbatch is not None else self.sample_microbatch
 
-        def sample(params, key, classes):
+        def sample(params, key, classes, cond_scale=None):
             k_noise, k_sampler = jax.random.split(key)
             batch = classes.shape[0]
             noise = jax.random.normal(k_noise, self.noise_shape(batch))
@@ -206,6 +228,7 @@ class DiffusionSpecTask:
                     return self.synthesize_from_noise(
                         params, noise_c, classes_c,
                         key=jax.random.fold_in(k_sampler, idx),
+                        cond_scale=cond_scale,
                     )
 
                 waves = jax.lax.map(
@@ -217,9 +240,15 @@ class DiffusionSpecTask:
                     ),
                 )
                 return waves.reshape((batch,) + waves.shape[2:])
-            return self.synthesize_from_noise(params, noise, classes, key=k_sampler)
+            return self.synthesize_from_noise(
+                params, noise, classes, key=k_sampler, cond_scale=cond_scale
+            )
 
-        return sample
+        if with_cond_scale:
+            def sample_cs(params, key, classes, cond_scale):
+                return sample(params, key, classes, cond_scale=cond_scale)
+            return sample_cs
+        return lambda params, key, classes: sample(params, key, classes)
 
     def test_classes(self, batch_size: int) -> jnp.ndarray:
         """Round-robin class labels for batch generation (reference :253-255)."""

@@ -58,21 +58,31 @@ STEPS = 32
 # wins). The gate is the direct int8-vs-bf16 FAD at the headline 32-Heun
 # leg on the newest converged checkpoint, accepted iff <= 2x the
 # real-vs-real floor (logs/soak_r*/fad_raw.json, written by
-# scripts/acceptance_soak_r04.sh phase 6). A rejected gate flips the
-# headline to bf16: honesty beats the bigger number. Analytic FLOPs are
-# always counted on the full-precision formulation either way.
+# scripts/acceptance_soak_r04.sh phase 6). A rejected OR MISSING gate
+# artifact flips the headline to bf16 (fail-closed): honesty beats the
+# bigger number. Analytic FLOPs are always counted on the full-precision
+# formulation either way.
 
 
 def _int8_gate_default() -> str:
+    """FAIL-CLOSED: int8 serves only when the adjudicating artifact (a
+    converged-checkpoint fad_raw.json with the direct int8-vs-bf16 FAD and
+    the real-vs-real floor) exists and passes. Missing artifact, missing
+    fields, or any exception -> bf16 headline. Pre-soak evidence never
+    auto-accepts."""
     try:
         runs = sorted(ROOT.glob("logs/soak_r*/fad_raw.json"))
         if not runs:
-            return "1"  # pre-soak evidence: logs/soak_r02 3.5% FAD delta
+            print("# int8 gate: no fad_raw.json anywhere -> bf16 headline "
+                  "(gate fails closed)", file=sys.stderr)
+            return "0"
         data = json.loads(runs[-1].read_text())
         direct = data.get("direct_int8_vs_bf16_heun32")
         floor = data.get("floor_real_vs_real")
         if not isinstance(direct, (int, float)) or not floor:
-            return "1"
+            print(f"# int8 gate ({runs[-1]}): direct/floor fields missing "
+                  "-> bf16 headline (gate fails closed)", file=sys.stderr)
+            return "0"
         ok = direct <= 2.0 * floor
         print(
             f"# int8 gate ({runs[-1]}): direct int8-vs-bf16 FAD {direct} vs "
@@ -80,8 +90,10 @@ def _int8_gate_default() -> str:
             file=sys.stderr,
         )
         return "1" if ok else "0"
-    except Exception:
-        return "1"
+    except Exception as e:
+        print(f"# int8 gate: error reading artifact ({e}) -> bf16 headline",
+              file=sys.stderr)
+        return "0"
 
 
 os.environ.setdefault("ADT_INT8", _int8_gate_default())

@@ -250,13 +250,23 @@ if run_phase 7; then
     # snapshot series lost with /tmp at the round boundary: trend points
     # come from already-generated legs (in-state EMA of the surviving full
     # checkpoints via eval_grid_r04.py, plus the winning recon-87500 leg)
+    # final trend point = the winning 32-Heun leg; its step is read from
+    # the phema reconstruction directory the grid actually sampled from
+    # (recon_phema-0.100_<step>), not hardcoded
+    FINAL_STEP=$(ls -d "$WORK"/phema/recon_phema-0.100_* 2>/dev/null \
+                 | sed 's/.*_//' | sort -n | tail -1)
+    [ -n "$FINAL_STEP" ] || die "no phema reconstruction to read final step"
     POINTS=()
     for d in "$WORK"/eval_heun32_trend*/test_samples; do
       [ -d "$d" ] || continue
       step=$(basename "$(dirname "$d")" | sed 's/eval_heun32_trend//')
+      # the in-state-EMA extraction of the converged checkpoint lands on the
+      # same step as the post-hoc final point: keep only the final point
+      # (one EMA source per step in the table)
+      [ "$step" = "$FINAL_STEP" ] && continue
       POINTS+=(--point "$step:$d")
     done
-    POINTS+=(--point "87500:$WORK/eval_heun32_cfg$BEST/test_samples")
+    POINTS+=(--point "$FINAL_STEP:$WORK/eval_heun32_cfg$BEST/test_samples")
     python scripts/fad_trend.py --work "$WORK" --data "$DATA" \
       --out "$OUT/TREND.md" "${POINTS[@]}" \
       --metrics-csv "$WORK/train/csv/metrics.csv" \

@@ -66,6 +66,15 @@ def log(*a):
     print(f"[grid {time.strftime('%H:%M:%S')}]", *a, flush=True)
 
 
+def heartbeat():
+    """Progress signal for the supervisor's hang watchdog during phases that
+    legitimately produce no wavs (compiles, wait_best_cs, FAD waits)."""
+    try:
+        (WORK / ".grid_heartbeat").touch()
+    except OSError:
+        pass
+
+
 def recon_for_std(std: str) -> str:
     cands = sorted(
         WORK.glob(f"phema/recon_phema-{std}_*"),
@@ -81,18 +90,35 @@ def leg_complete(leg: str, n: int = None) -> bool:
     return d.is_dir() and len(list(d.glob("*.wav"))) >= (n or SAMPLES)
 
 
-def write_leg_metrics(leg: str, n: int, elapsed: float, meta: dict):
+def write_leg_metrics(leg: str, n_new: int, elapsed: float, meta: dict,
+                      n_total: int = None):
     """Leg metrics in the same csv shape Trainer.test's CSVLogger emits, so
-    soak_quality_report.leg_samples_per_sec finds them."""
+    soak_quality_report.leg_samples_per_sec finds them.
+
+    Throughput is cumulative-honest across watchdog restarts: prior runs'
+    (samples, elapsed) are read back from leg_meta.json and added in, so a
+    resumed leg never counts old wavs against only the new elapsed time."""
+    n_total = n_total if n_total is not None else n_new
+    meta_path = WORK / leg / "leg_meta.json"
+    cum_n, cum_t = n_new, elapsed
+    if meta_path.is_file():
+        try:
+            prev = json.loads(meta_path.read_text())
+            cum_n += int(prev.get("gen_samples", 0))
+            cum_t += float(prev.get("gen_elapsed", 0.0))
+        except (ValueError, KeyError):
+            pass
     d = WORK / leg / "csv"
     d.mkdir(parents=True, exist_ok=True)
-    sps = n / max(elapsed, 1e-9)
+    sps = cum_n / max(cum_t, 1e-9)
     (d / "metrics.csv").write_text(
-        "step,test/num_samples,test/samples_per_sec\n" f"0,{n},{sps}\n"
+        "step,test/num_samples,test/samples_per_sec\n" f"0,{n_total},{sps}\n"
     )
-    (WORK / leg / "leg_meta.json").write_text(json.dumps(meta | {
-        "num_samples": n, "samples_per_sec": sps}, indent=1))
-    log(f"leg {leg}: {n} wavs at {sps:.2f} samples/s  {meta}")
+    meta_path.write_text(json.dumps(meta | {
+        "num_samples": n_total, "samples_per_sec": sps,
+        "gen_samples": cum_n, "gen_elapsed": cum_t}, indent=1))
+    log(f"leg {leg}: {n_total} wavs at {sps:.2f} samples/s "
+        f"({cum_n} generated over {cum_t:.0f}s)  {meta}")
 
 
 def wait_best_cs() -> str:
@@ -101,6 +127,7 @@ def wait_best_cs() -> str:
     while time.time() < deadline:
         if f.is_file() and f.read_text().strip():
             return f.read_text().strip()
+        heartbeat()
         time.sleep(30)
     log(f"best_cond_scale.txt not published within {BEST_CS_TIMEOUT_S}s; "
         f"falling back to provisional {PROVISIONAL_CS}")
@@ -155,17 +182,10 @@ def main():
         return ema_params[ema_path]
 
     # ---- ONE compiled heun fn with traced cond_scale ------------------------
-    base_sample = task.make_sample_fn()
-
-    def _sample_cs(params, key, classes, cs):
-        old = task.sampler.cond_scale
-        task.sampler.cond_scale = cs
-        try:
-            return base_sample(params, key, classes)
-        finally:
-            task.sampler.cond_scale = old
-
-    sample_cs = jax.jit(_sample_cs)
+    # cond_scale is threaded functionally (dataclasses.replace inside the
+    # trace — samplers are frozen dataclasses and must not be mutated); the
+    # traced scale takes the general CFG path so the sweep shares a compile.
+    sample_cs = jax.jit(task.make_sample_fn(with_cond_scale=True))
     sr = task.audio_sample_rate
     classes = task.test_classes(batch_size)
 
@@ -177,6 +197,7 @@ def main():
         if leg_complete(leg, n):
             log(f"leg {leg} already complete; skipping")
             return
+        heartbeat()  # the first call compiles; don't let the watchdog fire
         params = params_for(ema_path)
         out = WORK / leg / "test_samples"
         out.mkdir(parents=True, exist_ok=True)
@@ -184,7 +205,7 @@ def main():
         iterations = max(n // batch_size, 1)
         key = jax.random.key(seed + 2)
         t0 = time.time()
-        n = done_iters * batch_size
+        n_new = 0
         for it in range(iterations):
             key, sub = jax.random.split(key)
             if it < done_iters:
@@ -194,16 +215,19 @@ def main():
             for j in range(audio.shape[0]):
                 fname = f"test_{int(classes[j])}_{it * batch_size + j}.wav"
                 save_wav(str(out / fname), np.asarray(audio[j, :sr]), sr)
-            n += audio.shape[0]
-        write_leg_metrics(leg, n, time.time() - t0,
+            n_new += audio.shape[0]
+        write_leg_metrics(leg, n_new, time.time() - t0,
                           {"cond_scale": cs, "ema_params": ema_path,
-                           "resumed_at_iter": done_iters})
+                           "resumed_at_iter": done_iters},
+                          n_total=done_iters * batch_size + n_new)
 
-    def gen_leg_trainer(leg: str, exp: str, overrides, int8=False):
+    def gen_leg_trainer(leg: str, exp: str, overrides, int8=False,
+                        cond_scale: str = None):
         """Full Trainer.test path for legs with their own sampler shape."""
         if leg_complete(leg):
             log(f"leg {leg} already complete; skipping")
             return
+        heartbeat()  # trainer build + sampler compile produce no wavs
         if int8:
             os.environ["ADT_INT8"] = "1"
         try:
@@ -215,6 +239,12 @@ def main():
         finally:
             if int8:
                 os.environ.pop("ADT_INT8", None)
+        if cond_scale is not None:
+            # record the scale this leg's samples were generated at so the
+            # winner-vs-provisional regeneration decision is per-leg
+            (WORK / leg / "leg_meta.json").write_text(json.dumps(
+                {"cond_scale": float(cond_scale), "experiment": exp,
+                 "int8": int8}, indent=1))
 
     # ---- phase A: guidance sweep (one compile, five generations) -----------
     for cs in ("1.0", "1.5", "2.0", "3.0", "4.0"):
@@ -239,7 +269,8 @@ def main():
         ("eval_pf_32", PF_EXP, ["sampler_steps=32"]),
     ]
     for leg, exp, ovr in frontier:
-        gen_leg_trainer(leg, exp, ovr + [f"model.sampler.cond_scale={cs_now}"])
+        gen_leg_trainer(leg, exp, ovr + [f"model.sampler.cond_scale={cs_now}"],
+                        cond_scale=cs_now)
     (WORK / "frontier_cond_scale.txt").write_text(cs_now + "\n")
 
     # ---- phases B+C: winner-dependent legs ----------------------------------
@@ -255,19 +286,37 @@ def main():
         gen_leg_heun(f"eval_heun32_trend{step}", float(cs_best), str(tp),
                      n=512)
     gen_leg_trainer("eval_heun32_int8", HEUN_EXP,
-                    [f"model.sampler.cond_scale={cs_best}"], int8=True)
+                    [f"model.sampler.cond_scale={cs_best}"], int8=True,
+                    cond_scale=cs_best)
 
-    # if the winner differs from the provisional frontier scale, regenerate
-    # the frontier at the winner (idempotence makes the equal case free)
-    if cs_best != cs_now:
-        log(f"winner {cs_best} != provisional {cs_now}; "
-            "regenerating frontier legs at the winner")
-        import shutil
-        for leg, exp, ovr in frontier:
-            shutil.rmtree(WORK / leg, ignore_errors=True)
-            gen_leg_trainer(leg, exp,
-                            ovr + [f"model.sampler.cond_scale={cs_best}"])
-        (WORK / "frontier_cond_scale.txt").write_text(cs_best + "\n")
+    # regenerate any frontier leg whose RECORDED generation scale differs
+    # from the winner (per-leg leg_meta.json comparison — robust across
+    # watchdog restarts, where the in-process provisional would already
+    # equal the published winner); the leg's cached FAD + request marker
+    # are invalidated together with its samples so the supervisor rescores
+    def leg_gen_scale(leg: str):
+        p = WORK / leg / "leg_meta.json"
+        if not p.is_file():
+            return None
+        try:
+            return float(json.loads(p.read_text()).get("cond_scale"))
+        except (ValueError, TypeError, KeyError):
+            return None
+
+    import shutil
+    for leg, exp, ovr in frontier:
+        got = leg_gen_scale(leg)
+        if got is not None and abs(got - float(cs_best)) < 1e-9:
+            continue
+        log(f"frontier leg {leg} generated at {got} != winner {cs_best}; "
+            "regenerating")
+        shutil.rmtree(WORK / leg, ignore_errors=True)
+        for stale in (WORK / f"fad_leg_{leg}.txt", WORK / f".fad_req_{leg}"):
+            stale.unlink(missing_ok=True)
+        gen_leg_trainer(leg, exp,
+                        ovr + [f"model.sampler.cond_scale={cs_best}"],
+                        cond_scale=cs_best)
+    (WORK / "frontier_cond_scale.txt").write_text(cs_best + "\n")
 
     log("GRID_COMPLETE")
     (WORK / "GRID_COMPLETE").write_text("ok\n")

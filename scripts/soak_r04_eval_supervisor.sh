@@ -86,6 +86,13 @@ for line in reversed(sys.stdin.read().splitlines()):
     if line.startswith("{"):
         print(json.loads(line)["fad"]); break'; }
 
+leg_scale() {  # recorded generation cond_scale of a leg ("" if none)
+  python -c '
+import json, sys
+try: print(json.load(open(sys.argv[1]))["cond_scale"])
+except Exception: pass' "$WORK/$1/leg_meta.json" 2>/dev/null
+}
+
 fad_bg() {  # fad_bg <leg>
   local leg=$1
   [ -s "$WORK/fad_leg_$leg.txt" ] && return 0
@@ -94,7 +101,20 @@ fad_bg() {  # fad_bg <leg>
   (
     flock 9
     [ -s "$WORK/fad_leg_$leg.txt" ] && exit 0
+    # snapshot the leg's identity: if the grid rmtree's + regenerates it at
+    # the FAD-winning scale while we score, the result must be discarded
+    # (the request marker is cleared so the next sweep rescores fresh)
+    pre_scale=$(leg_scale "$leg")
+    pre_n=$(ls "$WORK/$leg/test_samples" 2>/dev/null | wc -l)
     f=$(fad_cmd "$DATA/train" "$WORK/$leg/test_samples")
+    post_scale=$(leg_scale "$leg")
+    post_n=$(ls "$WORK/$leg/test_samples" 2>/dev/null | wc -l)
+    if [ "$pre_scale" != "$post_scale" ] || [ "$pre_n" != "$post_n" ]; then
+      echo "[fad_bg] $leg changed during scoring" \
+           "(scale $pre_scale->$post_scale, n $pre_n->$post_n); discarding"
+      rm -f "$WORK/.fad_req_$leg"
+      exit 0
+    fi
     [ -n "$f" ] && { echo "$f" > "$WORK/.fad_leg_$leg.tmp" \
                      && mv "$WORK/.fad_leg_$leg.tmp" "$WORK/fad_leg_$leg.txt"; }
     echo "[fad_bg] $leg -> ${f:-FAILED}"
@@ -160,8 +180,11 @@ while true; do
   fi
 
   # watchdog: grid running but nothing under $WORK progressed in HANG_SECS
+  # (the grid touches .grid_heartbeat during wav-less phases: compiles,
+  # wait_best_cs, FAD waits — those must not count as hangs)
   if kill -0 "$GRID_PID" 2>/dev/null; then
-    newest=$(find "$WORK" -name '*.wav' -newer "$WDMARK" -print -quit 2>/dev/null)
+    newest=$(find "$WORK" \( -name '*.wav' -o -name '.grid_heartbeat' \) \
+               -newer "$WDMARK" -print -quit 2>/dev/null)
     if [ -n "$newest" ] || [ -f "$WORK/GRID_COMPLETE" ]; then
       touch "$WDMARK"
     else
