@@ -173,6 +173,15 @@ def main():
         out["cond_accuracy"] = round(
             float((fake_pred[labeled] == fake_cls[labeled]).mean()), 4
         )
+        acc_pc = {}
+        for k in range(10):
+            mk = fake_cls == k
+            if mk.any():
+                acc_pc[CLASSES[k]] = round(
+                    float((fake_pred[mk] == k).mean()), 4
+                )
+        if acc_pc:
+            out["accuracy_per_class"] = acc_pc
     # embedder sanity: its accuracy on the real set (should be ~1.0)
     real_labeled = real_cls >= 0
     if real_labeled.any():

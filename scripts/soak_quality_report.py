@@ -130,6 +130,23 @@ def main():
             f"{f'{sps:.2f}' if sps else '—'} |"
         )
     out.append("")
+    # full 10-class breakdown on the winning 32-Heun leg: proves CFG
+    # conditioning controls the class per-digit, not just in aggregate
+    # (reference's class-conditional harness: diffunet_complex_module.py:230-266)
+    if best_cs is not None:
+        win_name = f"eval_heun32_cfg{best_cs}"
+        win = next((r for name, r, _ in rows if name == win_name), None)
+        if win and (win.get("fad_per_class") or win.get("accuracy_per_class")):
+            fpc = win.get("fad_per_class", {})
+            apc = win.get("accuracy_per_class", {})
+            out += [f"## Per-class breakdown — winning leg `{win_name}`", "",
+                    "| class | FAD (class-k vs real class-k) | cond accuracy |",
+                    "|---|---|---|"]
+            for cls in ["Zero", "One", "Two", "Three", "Four",
+                        "Five", "Six", "Seven", "Eight", "Nine"]:
+                out.append(f"| {cls} | {fpc.get(cls, '—')} | "
+                           f"{apc.get(cls, '—')} |")
+            out.append("")
     if direct is not None and floor:
         verdict = "ACCEPT" if direct <= 2 * floor else "REJECT"
         out.append(

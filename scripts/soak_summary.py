@@ -39,12 +39,22 @@ def main():
             if r.get("val/loss")
         ]
         ips = [float(r["train/items_per_sec"]) for r in rows if r.get("train/items_per_sec")]
+        # epoch-throughput rows logged right after a kill/resume cover only
+        # the post-resume wall clock and can be wildly inflated (a 12k
+        # items/s row was observed in the r04 soak); exclude anything >3x or
+        # <1/3 the median from the mean and report how many were dropped
+        med = sorted(ips)[len(ips) // 2] if ips else None
+        clean = [v for v in ips if med and med / 3 <= v <= med * 3]
         summary["train"] = {
             "steps": losses[-1][0] if losses else 0,
             "first_loss": losses[0][1] if losses else None,
             "last_loss": losses[-1][1] if losses else None,
             "best_val_loss": min(v for _, v in vals) if vals else None,
-            "median_items_per_sec": sorted(ips)[len(ips) // 2] if ips else None,
+            "median_items_per_sec": med,
+            "mean_items_per_sec_clean": (
+                sum(clean) / len(clean) if clean else None
+            ),
+            "throughput_rows_excluded_as_restart_artifacts": len(ips) - len(clean),
         }
 
     snaps = sorted((work / "train" / "ema_snapshots").glob("ema_prof*"))
