@@ -147,6 +147,39 @@ def main():
                 out.append(f"| {cls} | {fpc.get(cls, '—')} | "
                            f"{apc.get(cls, '—')} |")
             out.append("")
+    # FAD-scale anchors (scripts/fad_anchors.py): the learned-embedder FAD
+    # is only comparable to itself, so position the legs between a
+    # matched-n real-vs-real floor and a white-noise upper anchor instead
+    # of quoting raw floor ratios alone (VERDICT r04: analyse when
+    # best/floor > ~10x).
+    anchors_p = work / "fad_anchors.json"
+    if anchors_p.is_file():
+        try:
+            anchors = json.loads(anchors_p.read_text())
+        except json.JSONDecodeError:
+            anchors = {}
+        mfloor = anchors.get("matched_n_floor_8192_vs_2048")
+        noise = anchors.get("white_noise_anchor")
+        leg_fads = {n: r.get("fad") for n, r, _ in rows
+                    if isinstance(r.get("fad"), (int, float))}
+        if mfloor and noise and leg_fads:
+            out += ["## FAD scale: how to read these numbers", "",
+                    "The embedder is a from-scratch SC09 classifier "
+                    "(scripts/train_embedder.py), not the literature's "
+                    "VGGish, so absolute FAD values are not comparable to "
+                    "published SC09 numbers — only positions between "
+                    "anchors measured in the SAME embedder space are:", "",
+                    f"- matched-n real-vs-real floor (8192 vs 2048 disjoint "
+                    f"train clips): **{mfloor}**",
+                    f"- white-noise anchor (real vs 2048 white-noise clips): "
+                    f"**{noise}**", "",
+                    "| leg | FAD | % of the floor->noise span |",
+                    "|---|---|---|"]
+            span = noise - mfloor
+            for name, f in sorted(leg_fads.items(), key=lambda kv: kv[1]):
+                pos = 100.0 * (f - mfloor) / span if span > 0 else float("nan")
+                out.append(f"| {name} | {f} | {pos:.1f}% |")
+            out.append("")
     if direct is not None and floor:
         verdict = "ACCEPT" if direct <= 2 * floor else "REJECT"
         out.append(
