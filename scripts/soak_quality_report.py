@@ -147,6 +147,41 @@ def main():
                 out.append(f"| {cls} | {fpc.get(cls, '—')} | "
                            f"{apc.get(cls, '—')} |")
             out.append("")
+    # NFE-frontier verdict vs the 32-Heun winner (VERDICT r04 item 3: one
+    # table of FAD + samples/sec, and PFDiff either beats the headline at
+    # matched FAD or is marked quality-negative). Patch-level fad_raw values
+    # and the per-leg end-to-end samples/s from the table rows.
+    win_key = f"eval_heun32_cfg{best_cs}" if best_cs is not None else None
+    win_fad = fad_raw.get(win_key)
+    if isinstance(win_fad, (int, float)):
+        win_sps = next((s for n, _, s in rows if n == win_key and s), None)
+        out += ["## NFE frontier vs the 32-Heun headline", "",
+                f"Headline leg `{win_key}`: FAD {win_fad}"
+                + (f", {win_sps:.2f} samples/s (end-to-end)" if win_sps else "")
+                + ".", "",
+                "| leg | FAD | vs headline FAD | samples/s | speedup |",
+                "|---|---|---|---|---|"]
+        for name, _, sps in rows:
+            f = fad_raw.get(name)
+            if name == win_key or not isinstance(f, (int, float)) \
+                    or "cfg" in name or "emastd" in name or "trend" in name:
+                continue
+            rel = f / win_fad
+            spd = (sps / win_sps) if (sps and win_sps) else None
+            out.append(f"| {name} | {f} | {rel:.2f}x | "
+                       f"{f'{sps:.2f}' if sps else '—'} | "
+                       f"{f'{spd:.2f}x' if spd else '—'} |")
+        pf = {n: fad_raw.get(n) for n in ("eval_pf_16", "eval_pf_32")}
+        better = [n for n, f in pf.items()
+                  if isinstance(f, (int, float)) and f <= win_fad]
+        if any(isinstance(f, (int, float)) for f in pf.values()):
+            out += ["", "**PFDiff verdict:** "
+                    + (f"{', '.join(sorted(better))} reach(es) the headline's "
+                       "FAD or better at higher throughput — PFDiff raises "
+                       "samples/sec at matched quality."
+                       if better else
+                       "no PFDiff leg reaches the headline FAD — "
+                       "quality-negative at these NFEs."), ""]
     # FAD-scale anchors (scripts/fad_anchors.py): the learned-embedder FAD
     # is only comparable to itself, so position the legs between a
     # matched-n real-vs-real floor and a white-noise upper anchor instead
@@ -160,15 +195,20 @@ def main():
             anchors = {}
         mfloor = anchors.get("matched_n_floor_8192_vs_2048")
         noise = anchors.get("white_noise_anchor")
-        leg_fads = {n: r.get("fad") for n, r, _ in rows
-                    if isinstance(r.get("fad"), (int, float))}
+        # anchors are patch-level FADs (fad.dir_stats granularity) — position
+        # the patch-level fad_raw.json leg values between them, NOT the
+        # clip-pooled eval_quality numbers in the table above (different scale)
+        leg_fads = {k: v for k, v in fad_raw.items()
+                    if k.startswith("eval_") and isinstance(v, (int, float))}
         if mfloor and noise and leg_fads:
             out += ["## FAD scale: how to read these numbers", "",
                     "The embedder is a from-scratch SC09 classifier "
                     "(scripts/train_embedder.py), not the literature's "
                     "VGGish, so absolute FAD values are not comparable to "
                     "published SC09 numbers — only positions between "
-                    "anchors measured in the SAME embedder space are:", "",
+                    "anchors measured in the SAME embedder space are. "
+                    "(These are the patch-level FADs of fad_raw.json; the "
+                    "table above is clip-pooled — a different scale.)", "",
                     f"- matched-n real-vs-real floor (8192 vs 2048 disjoint "
                     f"train clips): **{mfloor}**",
                     f"- white-noise anchor (real vs 2048 white-noise clips): "
