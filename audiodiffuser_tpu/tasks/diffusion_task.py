@@ -18,6 +18,7 @@ Layout note: the network consumes NHWC spectrograms [B, F, T, 2]
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Optional
@@ -91,10 +92,12 @@ class DiffusionSpecTask:
         )
 
     # -- network binding ------------------------------------------------------
-    def _net_fn(self, params, train: bool, cond_key=None):
+    def _net_fn(self, params, train: bool, cond_key=None, quant=None):
         collections = {"params": params}
-        if self.quant_scales is not None and not train:
-            collections["quant"] = self.quant_scales
+        if quant is None:
+            quant = self.quant_scales
+        if quant is not None and not train:
+            collections["quant"] = quant
 
         def net_fn(x, c_noise, cond_drop_prob=0.0, cond_drop_mask=None, **cond):
             rngs = {"cond": cond_key} if (train and cond_key is not None) else None
@@ -110,16 +113,67 @@ class DiffusionSpecTask:
 
         return net_fn
 
-    def calibrate_int8_scales(self, params, key, batch: int = 4):
+    def calibrate_int8_scales(self, params, key, batch: int = 4,
+                              per_step: Optional[bool] = None):
         """Populate ``quant_scales`` for the static-scale W8A8 sampling path.
 
         Runs the preconditioned denoiser over the full sampling sigma grid
         on approximate marginals (x_t = sigma * noise; every Block input is
         GroupNorm-normalised so activation ranges depend on the conditioning
         path, not the sample values) while the Blocks sow their conv-input
-        absmax; the per-layer maxima over all steps become the static
-        scales. Returns self (mutated in place)."""
+        absmax. Two granularities:
+
+        * ``per_step=True`` (default, ``ADT_INT8_PER_STEP=0`` opts out):
+          one scale per module PER SIGMA-GRID POINT ([S]-stacked leaves).
+          Activation ranges vary with sigma through the time-embedding
+          conditioning path, so a single absmax over all steps (the classic
+          diffusion-PTQ failure; cf. the timestep-aware calibration of
+          Q-Diffusion/PTQ4DM) wastes int8 resolution at every other step.
+          ``synthesize_from_noise`` selects the step's scales by
+          nearest-log-sigma lookup, so mid-grid evaluations (Heun's second
+          stage, churned sigma_hat) get the closest calibrated point.
+        * ``per_step=False``: the per-layer maxima over ALL steps become
+          one static scale per module (round-4 behaviour).
+
+        Returns self (mutated in place)."""
         from ..ops.quant import merge_stats_max, stats_to_scales
+
+        if per_step is None:
+            per_step = os.environ.get("ADT_INT8_PER_STEP", "1") == "1"
+        if per_step:
+            classes = self.test_classes(batch)
+
+            @jax.jit
+            def probe_one(key, sigma):
+                x = sigma * jax.random.normal(key, self.noise_shape(batch))
+                collected = {}
+
+                def capture_net(xin, c_noise, **cond):
+                    out, aux = self.net.apply(
+                        {"params": params}, xin, c_noise,
+                        mutable=["quant_stats"], **cond,
+                    )
+                    collected["stats"] = merge_stats_max(
+                        collected.get("stats"), aux.get("quant_stats", {})
+                    )
+                    return out
+
+                self.diffusion.denoise_fn(
+                    x, net=capture_net, inference=True,
+                    sigmas=jnp.full((batch,), sigma), classes=classes,
+                )
+                return collected["stats"]
+
+            per_sigma = [
+                stats_to_scales(jax.device_get(
+                    probe_one(jax.random.fold_in(key, i), jnp.float32(s))))
+                for i, s in enumerate(jax.device_get(self.sigmas))
+            ]
+            self.quant_scales = (
+                jax.tree.map(lambda *ls: jnp.stack(ls), *per_sigma)
+                if per_sigma and per_sigma[0] else None
+            )
+            return self
 
         n_sig = int(self.sigmas.shape[0])
         classes = jnp.tile(self.test_classes(batch)[:batch], n_sig)
@@ -179,13 +233,42 @@ class DiffusionSpecTask:
         copy rather than mutating shared state. A traced scale takes the
         general CFG path in formulations._cfg_apply, so a guidance sweep can
         share one compilation."""
-        net_fn = self._net_fn(params, train=False)
         sampler = self.sampler
         if cond_scale is not None:
             sampler = dataclasses.replace(sampler, cond_scale=cond_scale)
-        fn = partial(
-            self.diffusion.denoise_fn, net=net_fn, inference=True, classes=classes
-        )
+        quant = self.quant_scales
+        if quant is not None and any(
+            jnp.ndim(l) >= 1 for l in jax.tree.leaves(quant)
+        ):
+            # per-step W8A8 scales ([S]-stacked leaves, calibrate_int8_scales
+            # per_step=True): pick the grid point nearest in log-sigma to the
+            # sampler's current evaluation point and bind that step's scalars
+            log_grid = jnp.log(
+                jnp.maximum(jnp.asarray(self.sigmas, jnp.float32), 1e-12)
+            )
+
+            def fn(x, sigma=None, sigmas=None, **kw):
+                s = sigma if sigma is not None else jnp.reshape(sigmas, (-1,))[0]
+                idx = jnp.argmin(jnp.abs(
+                    jnp.log(jnp.maximum(jnp.asarray(s, jnp.float32), 1e-12))
+                    - log_grid
+                ))
+                q = jax.tree.map(lambda l: l[idx], quant)
+                return self.diffusion.denoise_fn(
+                    x,
+                    net=self._net_fn(params, train=False, quant=q),
+                    inference=True,
+                    classes=classes,
+                    sigma=sigma,
+                    sigmas=sigmas,
+                    **kw,
+                )
+        else:
+            net_fn = self._net_fn(params, train=False)
+            fn = partial(
+                self.diffusion.denoise_fn, net=net_fn, inference=True,
+                classes=classes,
+            )
         spec2 = sampler(initial_noise, fn, self.sigmas, key=key)
         return self.spec_to_audio(spec2)
 

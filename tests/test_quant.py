@@ -126,20 +126,41 @@ def test_static_scale_calibration_sampling(monkeypatch):
         jax.random.key(0), x0, jnp.zeros((1,)), classes=jnp.zeros((1,), jnp.int32)
     )["params"]
 
+    # per-step calibration (the default): [S]-stacked scale leaves, one per
+    # sigma-grid point, selected at sampling time by nearest-log-sigma
     task.calibrate_int8_scales(params, jax.random.key(1), batch=2)
     assert task.quant_scales is not None
+    n_sig = int(task.sigmas.shape[0])
     leaves = jax.tree.leaves(task.quant_scales)
-    assert leaves and all(float(s) > 0 for s in leaves)
+    assert leaves
+    for s in leaves:
+        assert s.shape == (n_sig,)
+        assert float(jnp.min(s)) > 0
 
     classes = jnp.zeros((2,), jnp.int32)
     wav_static = task.make_sample_fn()(params, jax.random.key(2), classes)
 
+    # global-static calibration (ADT_INT8_PER_STEP=0 path): scalar leaves
+    task_glob = mk_task()
+    task_glob.calibrate_int8_scales(params, jax.random.key(1), batch=2,
+                                    per_step=False)
+    assert all(s.ndim == 0 for s in jax.tree.leaves(task_glob.quant_scales))
+    wav_glob = task_glob.make_sample_fn()(params, jax.random.key(2), classes)
+
     # dynamic-quant output (no static scales) as the comparison point
     task_dyn = mk_task()
     wav_dyn = task_dyn.make_sample_fn()(params, jax.random.key(2), classes)
-    a, b = np.asarray(wav_static, np.float32), np.asarray(wav_dyn, np.float32)
-    rms = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(b**2)) + 1e-9)
-    assert rms < 0.2, rms
+    b = np.asarray(wav_dyn, np.float32)
+    b_rms = np.sqrt(np.mean(b**2)) + 1e-9
+    for wav in (wav_static, wav_glob):
+        a = np.asarray(wav, np.float32)
+        rms = np.sqrt(np.mean((a - b) ** 2)) / b_rms
+        assert rms < 0.2, rms
+    # per-step static scales should track the dynamic (per-call absmax)
+    # reference at least as well as one global scale does
+    err_step = np.sqrt(np.mean((np.asarray(wav_static, np.float32) - b) ** 2))
+    err_glob = np.sqrt(np.mean((np.asarray(wav_glob, np.float32) - b) ** 2))
+    assert err_step <= err_glob * 1.25, (err_step, err_glob)
 
 
 def test_quantconv_param_tree_matches_nn_conv(monkeypatch):
