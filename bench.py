@@ -66,10 +66,19 @@ STEPS = 32
 
 def _int8_gate_default() -> str:
     """FAIL-CLOSED: int8 serves only when the adjudicating artifact (a
-    converged-checkpoint fad_raw.json with the direct int8-vs-bf16 FAD and
-    the real-vs-real floor) exists and passes. Missing artifact, missing
-    fields, or any exception -> bf16 headline. Pre-soak evidence never
-    auto-accepts."""
+    converged-checkpoint fad_raw.json with the direct int8-vs-bf16 FAD)
+    exists and passes. Missing artifact, missing fields, or any exception
+    -> bf16 headline. Pre-soak evidence never auto-accepts.
+
+    Threshold (pre-registered 2026-08-19, BEFORE the per-step-int8 leg was
+    scored): when the seed-to-seed bf16 control FAD is available
+    (``direct_bf16_seedB_vs_A``, scripts/eval_extra_legs_r05.py), accept
+    iff direct <= 1.5x that control — i.e. quantization noise is
+    indistinguishable from resampling the same model with a different
+    seed. A 2048-vs-2048 FAD between two sets from the SAME generator
+    does not reach the real-vs-real floor (estimator bias at matched n,
+    see fad_anchors.json), so the control is the honest yardstick.
+    Without a control, the original 2x-real-floor rule applies."""
     try:
         runs = sorted(ROOT.glob("logs/soak_r*/fad_raw.json"))
         if not runs:
@@ -77,16 +86,26 @@ def _int8_gate_default() -> str:
                   "(gate fails closed)", file=sys.stderr)
             return "0"
         data = json.loads(runs[-1].read_text())
-        direct = data.get("direct_int8_vs_bf16_heun32")
+        direct = data.get("direct_int8ps_vs_bf16_heun32",
+                          data.get("direct_int8_vs_bf16_heun32"))
+        control = data.get("direct_bf16_seedB_vs_A")
         floor = data.get("floor_real_vs_real")
-        if not isinstance(direct, (int, float)) or not floor:
-            print(f"# int8 gate ({runs[-1]}): direct/floor fields missing "
+        if not isinstance(direct, (int, float)):
+            print(f"# int8 gate ({runs[-1]}): direct field missing "
                   "-> bf16 headline (gate fails closed)", file=sys.stderr)
             return "0"
-        ok = direct <= 2.0 * floor
+        if isinstance(control, (int, float)) and control > 0:
+            bar, rule = 1.5 * control, "1.5x seed-control"
+        elif floor:
+            bar, rule = 2.0 * floor, "2x real floor"
+        else:
+            print(f"# int8 gate ({runs[-1]}): no threshold fields "
+                  "-> bf16 headline (gate fails closed)", file=sys.stderr)
+            return "0"
+        ok = direct <= bar
         print(
             f"# int8 gate ({runs[-1]}): direct int8-vs-bf16 FAD {direct} vs "
-            f"2x floor {2 * floor:.2f} -> {'ACCEPT' if ok else 'REJECT (bf16 headline)'}",
+            f"{rule} {bar:.2f} -> {'ACCEPT' if ok else 'REJECT (bf16 headline)'}",
             file=sys.stderr,
         )
         return "1" if ok else "0"
