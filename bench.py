@@ -216,6 +216,13 @@ def run(BATCH):
         )
         fp.update(repr(knobs).encode())
         fp.update(f"steps={STEPS}".encode())
+        # the calibration granularity (per-step [S] leaves vs one global
+        # scalar per module, ADT_INT8_PER_STEP) changes the scale tree:
+        # key the cache on it so a pre-per-step pickle can't shadow the
+        # new scheme
+        fp.update(
+            f"per_step={os.environ.get('ADT_INT8_PER_STEP', '1')}".encode()
+        )
         scale_cache = _CACHE / f"int8_scales_{fp.hexdigest()[:16]}.pkl"
         if scale_cache.exists():
             task.quant_scales = pickle.loads(scale_cache.read_bytes())
