@@ -90,9 +90,12 @@ def main():
             rows.append((d.name, run_quality(samples, real, embedder, args.platform),
                          leg_samples_per_sec(d)))
 
-    # direct int8-vs-bf16 gate at the headline leg: prefer the phase-6 value,
-    # else compute it over whichever naming scheme (r03/r04) is on disk
-    direct = fad_raw.get("direct_int8_vs_bf16_heun32")
+    # direct int8-vs-bf16 gate at the headline leg: prefer the per-step-
+    # calibrated leg's value, then the phase-6 global-static one, else
+    # compute it over whichever naming scheme (r03/r04) is on disk
+    direct = fad_raw.get("direct_int8ps_vs_bf16_heun32",
+                         fad_raw.get("direct_int8_vs_bf16_heun32"))
+    seed_control = fad_raw.get("direct_bf16_seedB_vs_A")
     best_cs = fad_raw.get("best_cond_scale")
     if direct is None:
         if best_cs is not None:
@@ -226,14 +229,22 @@ def main():
                 pos = 100.0 * (f - mfloor) / span if span > 0 else float("nan")
                 out.append(f"| {name} | {f} | {pos:.1f}% |")
             out.append("")
-    if direct is not None and floor:
-        verdict = "ACCEPT" if direct <= 2 * floor else "REJECT"
+    if direct is not None and (floor or seed_control):
+        # gate rule mirrors bench.py:_int8_gate_default — seed-control
+        # threshold (pre-registered before the per-step leg was scored)
+        # when available, 2x-real-floor fallback otherwise
+        if isinstance(seed_control, (int, float)) and seed_control > 0:
+            bar, rule = 1.5 * seed_control, (
+                f"1.5x the seed-to-seed bf16 control ({seed_control})")
+        else:
+            bar, rule = 2 * floor, f"2x the real-vs-real floor ({floor})"
+        verdict = "ACCEPT" if direct <= bar else "REJECT"
         out.append(
-            f"Direct int8-vs-bf16 FAD at 32-Heun: **{direct}** vs control "
-            f"floor {floor} -> int8 serving gate (threshold 2x floor): "
-            f"**{verdict}**"
+            f"Direct int8-vs-bf16 FAD at 32-Heun: **{direct}** vs {rule} "
+            f"-> int8 serving gate (threshold {bar:.2f}): **{verdict}**"
         )
-        int8_real = fad_raw.get("eval_heun32_int8")
+        int8_real = fad_raw.get("eval_heun32_int8ps",
+                                fad_raw.get("eval_heun32_int8"))
         win_real = fad_raw.get(f"eval_heun32_cfg{best_cs}") if best_cs else None
         if isinstance(int8_real, (int, float)) and isinstance(
                 win_real, (int, float)):
