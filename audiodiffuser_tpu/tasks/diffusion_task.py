@@ -113,7 +113,7 @@ class DiffusionSpecTask:
 
         return net_fn
 
-    def calibrate_int8_scales(self, params, key, batch: int = 4,
+    def calibrate_int8_scales(self, params, key, batch: Optional[int] = None,
                               per_step: Optional[bool] = None):
         """Populate ``quant_scales`` for the static-scale W8A8 sampling path.
 
@@ -121,7 +121,16 @@ class DiffusionSpecTask:
         on approximate marginals (x_t = sigma * noise; every Block input is
         GroupNorm-normalised so activation ranges depend on the conditioning
         path, not the sample values) while the Blocks sow their conv-input
-        absmax. Two granularities:
+        absmax. The probe covers the FULL conditioning path the eval grid
+        serves: every class label (``batch`` defaults to the class count)
+        AND the CFG null-embedding branch (``cond_scale=2.0`` makes
+        _cfg_apply evaluate the concatenated cond+null batch; the scale
+        value itself never reaches the net). Round 5 post-mortem: probing
+        only cond_scale=1.0 left the null branch uncalibrated, and the
+        per-step scheme's tight scales saturated on it — CFG then amplifies
+        the clipped null prediction (pred = null + s*(cond-null)), which
+        measured 5477 direct int8-vs-bf16 FAD vs 287 for the slack global
+        scales (logs/soak_r04/fad_raw.json). Two granularities:
 
         * ``per_step=True`` (default, ``ADT_INT8_PER_STEP=0`` opts out):
           one scale per module PER SIGMA-GRID POINT ([S]-stacked leaves).
@@ -140,6 +149,8 @@ class DiffusionSpecTask:
 
         if per_step is None:
             per_step = os.environ.get("ADT_INT8_PER_STEP", "1") == "1"
+        if batch is None:
+            batch = max(4, int(self.generated_sample_class))
         if per_step:
             classes = self.test_classes(batch)
 
@@ -161,6 +172,7 @@ class DiffusionSpecTask:
                 self.diffusion.denoise_fn(
                     x, net=capture_net, inference=True,
                     sigmas=jnp.full((batch,), sigma), classes=classes,
+                    cond_scale=2.0,
                 )
                 return collected["stats"]
 
@@ -200,7 +212,7 @@ class DiffusionSpecTask:
 
             self.diffusion.denoise_fn(
                 x, net=capture_net, inference=True, sigmas=sigmas,
-                classes=classes,
+                classes=classes, cond_scale=2.0,
             )
             return collected["stats"]
 

@@ -223,6 +223,10 @@ def run(BATCH):
         fp.update(
             f"per_step={os.environ.get('ADT_INT8_PER_STEP', '1')}".encode()
         )
+        # calibration-semantics version: v2 probes the CFG null branch
+        # (cond_scale=2.0) and all classes — stale v1 scale pickles (cond-only,
+        # 4 classes) must not shadow it
+        fp.update(b"calib=v2")
         scale_cache = _CACHE / f"int8_scales_{fp.hexdigest()[:16]}.pkl"
         if scale_cache.exists():
             task.quant_scales = pickle.loads(scale_cache.read_bytes())

@@ -89,12 +89,7 @@ def test_block_int8_path_param_compat(monkeypatch):
     assert rms / (np.sqrt(np.mean(ref**2)) + 1e-9) < 0.03
 
 
-def test_static_scale_calibration_sampling(monkeypatch):
-    """calibrate_int8_scales populates quant_scales; static-scale sampling
-    runs and stays close to the bf16 samples."""
-    monkeypatch.setenv("ADT_INT8", "1")
-    import jax
-
+def _mk_toy_task():
     from audiodiffuser_tpu.diffusion import EluDiffusion
     from audiodiffuser_tpu.models.unet2d import UNet2dBase
     from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
@@ -102,24 +97,31 @@ def test_static_scale_calibration_sampling(monkeypatch):
     from audiodiffuser_tpu.samplers.edm import EDMSampler
     from audiodiffuser_tpu.tasks.diffusion_task import DiffusionSpecTask
 
-    def mk_task():
-        return DiffusionSpecTask(
-            net=UNet2dBase(
-                dim=128, num_classes=4, dim_mults=[1, 2], channels=2,
-                num_resnet_blocks=1, resnet_groups=8,
-                layer_attns=[False, False], layer_cross_attns=[False, False],
-                memory_efficient=True,
-            ),
-            diffusion=EluDiffusion(sigma_data=0.2),
-            sampler=EDMSampler(s_churn=0.0, num_steps=3, use_heun=False),
-            noise_scheduler=KarrasSchedule(
-                sigma_min=0.01, sigma_max=10.0, rho=7.0, num_steps=3
-            ),
-            noise_distribution=LogNormalDistribution(mean=-1.2, std=1.2),
-            n_fft=62, hop_length=16, generated_frame_length=16,
-            generated_sample_class=4,
-        )
+    return DiffusionSpecTask(
+        net=UNet2dBase(
+            dim=128, num_classes=4, dim_mults=[1, 2], channels=2,
+            num_resnet_blocks=1, resnet_groups=8,
+            layer_attns=[False, False], layer_cross_attns=[False, False],
+            memory_efficient=True,
+        ),
+        diffusion=EluDiffusion(sigma_data=0.2),
+        sampler=EDMSampler(s_churn=0.0, num_steps=3, use_heun=False),
+        noise_scheduler=KarrasSchedule(
+            sigma_min=0.01, sigma_max=10.0, rho=7.0, num_steps=3
+        ),
+        noise_distribution=LogNormalDistribution(mean=-1.2, std=1.2),
+        n_fft=62, hop_length=16, generated_frame_length=16,
+        generated_sample_class=4,
+    )
 
+
+def test_static_scale_calibration_sampling(monkeypatch):
+    """calibrate_int8_scales populates quant_scales; static-scale sampling
+    runs and stays close to the bf16 samples."""
+    monkeypatch.setenv("ADT_INT8", "1")
+    import jax
+
+    mk_task = _mk_toy_task
     task = mk_task()
     x0 = jnp.zeros((1, 32, 16, 2))
     params = task.net.init(
@@ -187,3 +189,53 @@ def test_quantconv_param_tree_matches_nn_conv(monkeypatch):
     ref = np.asarray(ref_mod.apply(p_ref, x), np.float32)
     rms = np.sqrt(np.mean((np.asarray(y_q, np.float32) - ref) ** 2))
     assert 0 < rms / (np.sqrt(np.mean(ref**2)) + 1e-9) < 0.03
+
+
+def test_calibration_covers_cfg_null_branch(monkeypatch):
+    """Regression (round-5 soak post-mortem): calibrate_int8_scales must probe
+    the CFG null-embedding branch. The original probe ran cond_scale=1.0 only,
+    so the null branch's activation ranges never reached the scales; at
+    serving (cond_scale=2.0) the per-step path clipped the null prediction
+    and CFG amplified it (direct int8-vs-bf16 FAD 5477 vs 287 for the slack
+    global scales — logs/soak_r04/fad_raw.json). Inflating the null embedding
+    makes the toy net reproduce that saturation if the null branch is ever
+    dropped from calibration again."""
+    monkeypatch.setenv("ADT_INT8", "1")
+
+    task = _mk_toy_task()
+    x0 = jnp.zeros((1, 32, 16, 2))
+    params = task.net.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), classes=jnp.zeros((1,), jnp.int32)
+    )["params"]
+    # make the null branch's activation ranges dominate every class branch:
+    # a calibration that skips it must under-scale and saturate
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, l: l * 30.0
+        if any(getattr(k, "key", None) == "null_classes_emb" for k in path)
+        else l,
+        params,
+    )
+    inflated = [
+        np.abs(np.asarray(l)).max()
+        for path, l in jax.tree_util.tree_flatten_with_path(params)[0]
+        if any(getattr(k, "key", None) == "null_classes_emb" for k in path)
+    ]
+    assert inflated and inflated[0] > 10.0  # inflation actually applied
+
+    classes = jnp.zeros((2,), jnp.int32)
+
+    # dynamic-quant (per-call absmax) CFG output is the ground truth the
+    # static scales must track
+    task_dyn = _mk_toy_task()
+    wav_dyn = task_dyn.make_sample_fn(with_cond_scale=True)(
+        params, jax.random.key(2), classes, 2.0
+    )
+
+    task.calibrate_int8_scales(params, jax.random.key(1), batch=2)
+    wav_q = task.make_sample_fn(with_cond_scale=True)(
+        params, jax.random.key(2), classes, 2.0
+    )
+
+    b = np.asarray(wav_dyn, np.float32)
+    rms = np.sqrt(np.mean((np.asarray(wav_q, np.float32) - b) ** 2))
+    assert rms / (np.sqrt(np.mean(b**2)) + 1e-9) < 0.2, rms
