@@ -151,53 +151,15 @@ class DiffusionSpecTask:
             per_step = os.environ.get("ADT_INT8_PER_STEP", "1") == "1"
         if batch is None:
             batch = max(4, int(self.generated_sample_class))
-        if per_step:
-            classes = self.test_classes(batch)
+        classes = self.test_classes(batch)
 
-            @jax.jit
-            def probe_one(key, sigma):
-                x = sigma * jax.random.normal(key, self.noise_shape(batch))
-                collected = {}
-
-                def capture_net(xin, c_noise, **cond):
-                    out, aux = self.net.apply(
-                        {"params": params}, xin, c_noise,
-                        mutable=["quant_stats"], **cond,
-                    )
-                    collected["stats"] = merge_stats_max(
-                        collected.get("stats"), aux.get("quant_stats", {})
-                    )
-                    return out
-
-                self.diffusion.denoise_fn(
-                    x, net=capture_net, inference=True,
-                    sigmas=jnp.full((batch,), sigma), classes=classes,
-                    cond_scale=2.0,
-                )
-                return collected["stats"]
-
-            per_sigma = [
-                stats_to_scales(jax.device_get(
-                    probe_one(jax.random.fold_in(key, i), jnp.float32(s))))
-                for i, s in enumerate(jax.device_get(self.sigmas))
-            ]
-            self.quant_scales = (
-                jax.tree.map(lambda *ls: jnp.stack(ls), *per_sigma)
-                if per_sigma and per_sigma[0] else None
-            )
-            return self
-
-        n_sig = int(self.sigmas.shape[0])
-        classes = jnp.tile(self.test_classes(batch)[:batch], n_sig)
-
+        # one probe call per sigma-grid point: memory stays bounded at
+        # batch x 2 (CFG doubles the batch) flagship forwards regardless of
+        # grid length — a single call over the whole grid would put
+        # batch * n_sigmas * 2 samples in flight at once
         @jax.jit
-        def probe(key):
-            # one batched call: every sigma of the grid x `batch` noise draws
-            sigmas = jnp.repeat(jnp.asarray(self.sigmas), batch)
-            x = sigmas[:, None, None, None] * jax.random.normal(
-                key, self.noise_shape(batch * n_sig)
-            )
-
+        def probe_one(key, sigma):
+            x = sigma * jax.random.normal(key, self.noise_shape(batch))
             collected = {}
 
             def capture_net(xin, c_noise, **cond):
@@ -211,13 +173,28 @@ class DiffusionSpecTask:
                 return out
 
             self.diffusion.denoise_fn(
-                x, net=capture_net, inference=True, sigmas=sigmas,
-                classes=classes, cond_scale=2.0,
+                x, net=capture_net, inference=True,
+                sigmas=jnp.full((batch,), sigma), classes=classes,
+                cond_scale=2.0,
             )
             return collected["stats"]
 
-        stats = jax.device_get(probe(key))
-        self.quant_scales = stats_to_scales(stats) if stats else None
+        per_sigma = [
+            jax.device_get(probe_one(jax.random.fold_in(key, i), jnp.float32(s)))
+            for i, s in enumerate(jax.device_get(self.sigmas))
+        ]
+        if not (per_sigma and per_sigma[0]):
+            self.quant_scales = None
+        elif per_step:
+            self.quant_scales = jax.tree.map(
+                lambda *ls: jnp.stack(ls),
+                *[stats_to_scales(s) for s in per_sigma],
+            )
+        else:
+            merged = per_sigma[0]
+            for s in per_sigma[1:]:
+                merged = merge_stats_max(merged, s)
+            self.quant_scales = stats_to_scales(merged)
         return self
 
     # -- training loss --------------------------------------------------------
