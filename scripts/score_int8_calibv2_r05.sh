@@ -64,7 +64,7 @@ python scripts/soak_quality_report.py --work "$WORK" --data "$DATA" \
 python scripts/soak_summary.py --work "$WORK" --out "$OUT/summary.json" \
   --fad-json "$OUT/fad_raw.json"
 
-git add "$OUT/fad_raw.json" "$OUT/QUALITY.md" "$OUT/summary.json"
+git add -f "$OUT/fad_raw.json" "$OUT/QUALITY.md" "$OUT/summary.json"
 git commit -m "soak_r04: re-adjudicate the int8 serving gate under v2 calibration" \
   || echo "nothing to commit"
 echo "SCORE_INT8V2_DONE"
