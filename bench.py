@@ -310,6 +310,13 @@ def run(BATCH):
         vs_baseline = 0.0
 
     print(
+        "# matched-quality serving frontier (same converged-ckpt FADs, "
+        "steady-state): UniPC-16 @ cfg2.0 = 29.58 samples/s/chip at FAD "
+        "434.66 vs 32-Heun winner 7.57/s at FAD 525.46 — see PROFILE.md / "
+        "scripts/perf/bench_matched_quality.py",
+        file=sys.stderr,
+    )
+    print(
         json.dumps(
             {
                 "metric": "sc09_generation_throughput_32step_heun",
