@@ -31,7 +31,11 @@ CKPT = os.environ.get("CKPT", "/tmp/soak_r03/train/checkpoints/last")
 SAMPLES = int(os.environ.get("SAMPLES", "2048"))
 UNIPC_EXP = "sc09_inference/diffunet_complex_sc09_phema_eval_unipc"
 CS = os.environ.get("CS") or (WORK / "best_cond_scale.txt").read_text().strip()
-LEG = "eval_unipc16_emastd0.050"
+# SEED_OVERRIDE generates the same config under a different sampling seed
+# (the leg name gets a _seedB suffix): the seed-to-seed control for the
+# composed leg, mirroring eval_heun32_cfg2.0_seedB.
+SEED_OVERRIDE = os.environ.get("SEED_OVERRIDE")
+LEG = "eval_unipc16_emastd0.050" + ("_seedB" if SEED_OVERRIDE else "")
 
 
 def log(*a):
@@ -68,6 +72,7 @@ def main():
         f"paths.output_dir={WORK / LEG}",
         "extras.print_config=false",
         f"model.sampler.cond_scale={CS}",
+        *([f"seed={SEED_OVERRIDE}"] if SEED_OVERRIDE else []),
     ])
     seed_everything(cfg.get("seed"))
     dm = instantiate(cfg.data)
