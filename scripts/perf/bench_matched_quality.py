@@ -47,11 +47,22 @@ BATCH = int(os.environ.get("BENCH_BATCH", 128))
 MICROBATCH = int(os.environ.get("BENCH_MICROBATCH", 64))
 ITERS = int(os.environ.get("BENCH_ITERS", 3))
 
-# grid-measured FADs on the converged checkpoint (logs/soak_r04/fad_raw.json)
-GRID_FAD = {"heun32": 525.4592, "unipc16": 434.6595}
+# grid-measured FADs on the converged checkpoint (logs/soak_r04/fad_raw.json
+# when present; the two original legs are pinned as fallbacks)
+def _grid_fad(leg: str):
+    pinned = {"heun32": 525.4592, "unipc16": 434.6595}
+    raw = ROOT / "logs/soak_r04/fad_raw.json"
+    if raw.is_file():
+        d = json.loads(raw.read_text())
+        key = {"heun32": "eval_heun32_cfg2.0", "unipc16": "eval_unipc_16"}.get(
+            leg, f"eval_unipc_{leg[5:]}" if leg.startswith("unipc") else None)
+        if key and key in d:
+            return d[key]
+    return pinned.get(leg)
 
 
 def build_task(leg: str):
+    """leg is 'heun<N>' or 'unipc<N>' — any step count."""
     from audiodiffuser_tpu.diffusion import EluDiffusion
     from audiodiffuser_tpu.models.unet2d import UNet2dBase
     from audiodiffuser_tpu.ops.distributions import LogNormalDistribution
@@ -59,13 +70,13 @@ def build_task(leg: str):
     from audiodiffuser_tpu.samplers.edm import EDMSampler, UniPCSampler
     from audiodiffuser_tpu.tasks.diffusion_task import DiffusionSpecTask
 
-    if leg == "heun32":
-        steps = 32
+    if leg.startswith("heun"):
+        steps = int(leg[4:])
         sampler = EDMSampler(
             s_churn=0.0, num_steps=steps, use_heun=True, cond_scale=2.0
         )
-    elif leg == "unipc16":
-        steps = 16
+    elif leg.startswith("unipc"):
+        steps = int(leg[5:])
         sampler = UniPCSampler(
             num_steps=steps, order=2, cond_scale=2.0, x0_pred=True
         )
@@ -135,7 +146,7 @@ def run_leg(leg: str):
                 "metric": f"sc09_matched_quality_throughput_{leg}_cfg2",
                 "value": round(rate, 3),
                 "unit": "samples/sec/chip",
-                "fad_converged_ckpt": GRID_FAD[leg],
+                "fad_converged_ckpt": _grid_fad(leg),
                 "batch": BATCH,
                 "serving": "bf16",
             }
@@ -149,10 +160,10 @@ def main():
     rates = {leg: run_leg(leg) for leg in legs}
     if {"heun32", "unipc16"} <= rates.keys():
         print(
-            f"# matched-quality summary: UniPC-16 (FAD {GRID_FAD['unipc16']}) "
+            f"# matched-quality summary: UniPC-16 (FAD {_grid_fad('unipc16')}) "
             f"serves {rates['unipc16']:.2f} samples/s/chip = "
             f"{rates['unipc16'] / rates['heun32']:.2f}x the 32-Heun grid "
-            f"winner (FAD {GRID_FAD['heun32']}, {rates['heun32']:.2f}/s) "
+            f"winner (FAD {_grid_fad('heun32')}, {rates['heun32']:.2f}/s) "
             "at strictly better measured FAD",
             file=sys.stderr,
         )
